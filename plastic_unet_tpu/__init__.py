@@ -1,0 +1,26 @@
+"""plastic_unet_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework with the
+capabilities of yaricom/Plastic-UNet.
+
+This is a ground-up redesign, not a port: models are Flax modules compiled by
+XLA, the differentiable-plasticity head is a fused Pallas TPU kernel carried
+through a `lax.scan` lifetime loop, evaluation/inference are batched (vmapped)
+device-side pipelines, and data parallelism runs over a `jax.sharding.Mesh`
+with ICI collectives.
+
+Capability map vs the reference (file:line cites into /root/reference):
+  - models.unet_res.UNetPRes   <-> src/unet/unet_p_res.py:9  (UNetpRes)
+  - models.unet_classic.UNetP  <-> src/unet/unet_p.py:8      (UNetp)
+  - models.coord_conv          <-> src/coord_conv_script.py:61-200
+  - ops.plasticity             <-> src/unet/unet_p_res.py:115-140
+  - ops.iou                    <-> src/utils/iou_metric.py
+  - ops.rle                    <-> src/utils/rle_encode.py
+  - train.loop                 <-> src/train.py:29-211
+  - eval.evaluate              <-> src/eval.py:20-103
+  - submit.inference           <-> src/infer.py
+  - data.dataset               <-> src/utils/data_set.py
+  - viz                        <-> src/utils/{data,keras_history}_visualization.py
+"""
+
+__version__ = "0.1.0"
+
+from plastic_unet_tpu import ops  # noqa: F401

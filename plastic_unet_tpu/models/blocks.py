@@ -1,0 +1,312 @@
+"""Shared conv building blocks (NHWC, TPU-native).
+
+Behavioral equivalents of the reference blocks (cites into /root/reference):
+  conv_module / residual_block / pool_drop / middle / down / up / outconv
+  (src/unet/unet_p_res.py:142-272) and double_conv / inconv / down / up /
+  outconv (src/unet/unet_p.py:96-261).
+
+Design notes (TPU-first, not a translation):
+  * NHWC layout throughout — XLA's preferred conv layout on TPU.
+  * Channel dropout (torch Dropout2d) = flax Dropout broadcast over the
+    spatial dims, so the mask is per-(sample, channel).
+  * Transposed conv uses ``transpose_kernel=True`` so its semantics (and a
+    ported torch weight) match torch ConvTranspose2d exactly.
+  * The skip-merge pad/crop reproduces the reference's
+    ``F.pad(x, (d//2, int(d/2), ...))`` arithmetic (unet_p_res.py:215-217,
+    unet_p.py:161-164) including truncation-vs-floor on odd negative diffs
+    (crop-left-by-one) and the swapped H/W diff quirk (harmless on the
+    square tiles this family uses; kept for fidelity).
+  * Initializers match torch defaults (kaiming_uniform(a=sqrt(5)) kernels,
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) biases) so train-from-scratch follows
+    the same init distribution as the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# torch-default initializers
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) on a HWIO kernel: U(-b, b) with
+    b = sqrt(1 / fan_in), fan_in = prod(kernel_hw) * in_channels."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_convT_kernel_init(key, shape, dtype=jnp.float32):
+    """torch ConvTranspose2d init: fan_in computed from its (in, out, kh, kw)
+    weight = kh*kw*out_channels. flax kernel shape with transpose_kernel=True
+    is (kh, kw, out, in)."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    bound = math.sqrt(1.0 / fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def conv3(features: int, in_features: int, name: str | None = None) -> nn.Conv:
+    """3x3 'same' conv (stride 1, pad 1) with torch-default init."""
+    return nn.Conv(
+        features,
+        (3, 3),
+        padding=1,
+        kernel_init=torch_conv_kernel_init,
+        bias_init=torch_bias_init(9 * in_features),
+        name=name,
+    )
+
+
+def conv1(features: int, in_features: int, name: str | None = None) -> nn.Conv:
+    """1x1 conv with torch-default init."""
+    return nn.Conv(
+        features,
+        (1, 1),
+        kernel_init=torch_conv_kernel_init,
+        bias_init=torch_bias_init(in_features),
+        name=name,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial helpers
+# ---------------------------------------------------------------------------
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/2 max-pool with floor (VALID) semantics — torch MaxPool2d(2)."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
+
+
+def pad_to_match(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
+    """Pad/crop NHWC ``x`` to (target_h, target_w) with the reference's
+    asymmetric arithmetic: left/top gets diff//2 (floor), right/bottom gets
+    int(diff/2) (trunc toward zero). Negative diffs crop (torch F.pad with
+    negative pad). Shapes are static, so this lowers to a static slice/pad."""
+    h, w = x.shape[-3], x.shape[-2]
+    dh, dw = target_h - h, target_w - w
+    top, bottom = dh // 2, int(dh / 2)
+    left, right = dw // 2, int(dw / 2)
+
+    def apply(v, lo, hi, axis):
+        if lo < 0:
+            v = jax.lax.slice_in_dim(v, -lo, v.shape[axis], axis=axis)
+            lo = 0
+        if hi < 0:
+            v = jax.lax.slice_in_dim(v, 0, v.shape[axis] + hi, axis=axis)
+            hi = 0
+        if lo or hi:
+            cfg = [(0, 0)] * v.ndim
+            cfg[axis] = (lo, hi)
+            v = jnp.pad(v, cfg)
+        return v
+
+    x = apply(x, top, bottom, x.ndim - 3)
+    x = apply(x, left, right, x.ndim - 2)
+    return x
+
+
+def channel_dropout(x: jax.Array, rate: float, deterministic: bool, rng=None) -> jax.Array:
+    """torch Dropout2d: drop whole channels (broadcast over H, W)."""
+    if deterministic or rate == 0.0:
+        return x
+    # broadcast over the two spatial dims (works batched or unbatched)
+    dims = (x.ndim - 3, x.ndim - 2)
+    return nn.Dropout(rate=rate, broadcast_dims=dims, deterministic=False)(x, rng=rng)
+
+
+# ---------------------------------------------------------------------------
+# Residual-family blocks (UNetPRes, reference unet_p_res.py:142-272)
+# ---------------------------------------------------------------------------
+
+class ConvModule(nn.Module):
+    """conv3x3 [+BN] [+ReLU] (reference conv_module, unet_p_res.py:142-164).
+    In/out channel counts are equal by construction in the reference."""
+
+    features: int
+    activation: bool = True
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3(self.features, self.features)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """ReLU [+BN] -> conv_module -> conv_module(no act), + skip
+    (reference residual_block, unet_p_res.py:166-189).
+
+    Fidelity quirk: the reference's leading ``nn.ReLU(inplace=True)``
+    mutates the block *input* tensor, so the residual skip it later adds
+    (unet_p_res.py:188) is actually ``relu(input)``, not ``input``.
+    Reproduced here — verified against torch in tests/test_model_parity.py."""
+
+    features: int
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.relu(x)  # the inplace ReLU side effect: skip becomes relu(x)
+        y = h
+        if self.batch_norm:
+            y = nn.BatchNorm(use_running_average=not train)(y)
+        y = ConvModule(self.features, batch_norm=self.batch_norm)(y, train)
+        y = ConvModule(self.features, activation=False, batch_norm=self.batch_norm)(y, train)
+        return y + h
+
+
+class DownRes(nn.Module):
+    """conv3x3 -> 2x residual -> ReLU (reference down, unet_p_res.py:256-272;
+    identical structure to middle, unet_p_res.py:223-238)."""
+
+    in_features: int
+    features: int
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3(self.features, self.in_features)(x)
+        x = ResidualBlock(self.features, self.batch_norm)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm)(x, train)
+        return nn.relu(x)
+
+
+class Middle(nn.Module):
+    """Same trunk as DownRes (reference middle, unet_p_res.py:223-238)."""
+
+    in_features: int
+    features: int
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3(self.features, self.in_features)(x)
+        x = ResidualBlock(self.features, self.batch_norm)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm)(x, train)
+        return nn.relu(x)
+
+
+class UpRes(nn.Module):
+    """ConvT(k3,s2,VALID) -> pad/crop to skip -> concat[x, skip] ->
+    channel-dropout -> middle (reference up, unet_p_res.py:200-220).
+    Note the inner middle never uses batch_norm (hard-coded False at
+    unet_p_res.py:210)."""
+
+    in_features: int
+    features: int
+    dropout_ratio: float
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        x = nn.ConvTranspose(
+            self.features,
+            (3, 3),
+            strides=(2, 2),
+            padding="VALID",
+            transpose_kernel=True,
+            kernel_init=torch_convT_kernel_init,
+            bias_init=torch_bias_init(9 * self.features),
+        )(x)
+        x = pad_to_match(x, skip.shape[-3], skip.shape[-2])
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = channel_dropout(x, self.dropout_ratio, deterministic=not train)
+        return Middle(self.in_features, self.features, batch_norm=False)(x, train)
+
+
+# ---------------------------------------------------------------------------
+# Classic-family blocks (UNetP, reference unet_p.py:96-261)
+# ---------------------------------------------------------------------------
+
+class DoubleConv(nn.Module):
+    """(conv3 [+BN] ReLU) x2 (reference double_conv, unet_p.py:96-122)."""
+
+    in_features: int
+    features: int
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3(self.features, self.in_features)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = conv3(self.features, self.features)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        return nn.relu(x)
+
+
+def bilinear_upsample_2x_align_corners(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample with align_corners=True (torch nn.Upsample,
+    unet_p.py:153). Implemented as two 1-D interpolation matmuls so the work
+    lands on the MXU instead of a gather."""
+
+    def interp_matrix(n_in: int, n_out: int, dtype):
+        if n_in == 1:
+            return jnp.ones((n_out, 1), dtype)
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        frac = pos - lo.astype(jnp.float32)
+        m = jnp.zeros((n_out, n_in), jnp.float32)
+        rows = jnp.arange(n_out)
+        m = m.at[rows, lo].set(1.0 - frac)
+        m = m.at[rows, lo + 1].add(frac)
+        return m.astype(dtype)
+
+    h, w = x.shape[-3], x.shape[-2]
+    mh = interp_matrix(h, 2 * h, x.dtype)
+    mw = interp_matrix(w, 2 * w, x.dtype)
+    x = jnp.einsum("Oh,...hwc->...Owc", mh, x)
+    x = jnp.einsum("Ow,...hwc->...hOc", mw, x)
+    return x
+
+
+class UpClassic(nn.Module):
+    """Upsample (bilinear align-corners | ConvT k2 s2) -> pad/crop SKIP to x
+    -> concat[skip, x] -> double_conv (reference up, unet_p.py:148-167).
+    Note: unlike UpRes, here the *skip* is padded/cropped to the upsampled x,
+    and the concat order is [skip, x]."""
+
+    in_features: int  # channels after concat
+    features: int
+    bilinear: bool = True
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        if self.bilinear:
+            x = bilinear_upsample_2x_align_corners(x)
+        else:
+            ch = self.in_features // 2
+            x = nn.ConvTranspose(
+                ch,
+                (2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                transpose_kernel=True,
+                kernel_init=torch_convT_kernel_init,
+                bias_init=torch_bias_init(4 * ch),
+            )(x)
+        skip = pad_to_match(skip, x.shape[-3], x.shape[-2])
+        x = jnp.concatenate([skip, x], axis=-1)
+        return DoubleConv(self.in_features, self.features, self.batch_norm)(x, train)

@@ -1,0 +1,115 @@
+"""UNetPRes — residual plastic U-Net (the flagship model; the one the
+reference's train/eval/infer drivers instantiate).
+
+Behavioral equivalent of reference UNetpRes (src/unet/unet_p_res.py:9-140):
+encoder 4x(down + pool/channel-dropout), middle bottleneck, decoder 4x up
+with skip concats, 1x1 outconv, then the plastic head
+(activin @ (w + alpha*hebb) -> sigmoid -> trace update). Channel widths are
+neurons x {1,2,4,8,16} (unet_p_res.py:38-63); the 101-px spatial track is
+101 -> 50 -> 25 -> 12 -> 6 -> (up) -> 101. The first pool uses
+dropout_ratio/2 (unet_p_res.py:39).
+
+TPU-native deviations (documented, parity-preserving at B=1):
+  * NHWC layout; inputs are batched (B, H, W, C) and the hebb trace is
+    (B, nbf, nbf) — one independent lifetime stream per batch lane. The
+    reference's batch-size-1 restriction is a limitation, not a semantic;
+    B=1 reproduces it exactly, B>1 enables stream-parallel throughput.
+  * The plastic head can run as a fused Pallas kernel (ops/pallas_plastic)
+    or the XLA fallback (ops/plasticity); both are tested equal.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from plastic_unet_tpu.models.blocks import DownRes, Middle, UpRes, channel_dropout, conv1, max_pool_2x2
+from plastic_unet_tpu.ops import plasticity
+
+
+class PlasticOutput(NamedTuple):
+    activ: jax.Array  # pre-sigmoid logits of the plastic head (B, nbf, nbf)
+    activout: jax.Array  # sigmoid probabilities == predicted mask (B, nbf, nbf)
+    hebb: jax.Array  # updated trace (B, nbf, nbf)
+
+
+class UNetPRes(nn.Module):
+    """Residual plastic U-Net. Constructor args mirror the reference's
+    (unet_p_res.py:10) minus the torch device."""
+
+    n_channels: int = 1
+    n_classes: int = 1
+    neurons: int = 16
+    dropout_ratio: float = 0.5
+    alfa_type: str = "free"
+    rule: str = "hebb"
+    nbf: int = 128
+    batch_norm: bool = False
+    bilinear_upsample: bool = False  # accepted for API parity; unused, as in the reference
+    use_pallas: bool = False  # route the plastic head through the Pallas kernel
+
+    def initial_zero_hebb(self, batch: int = 1, dtype=jnp.float32) -> jax.Array:
+        """Batched zero trace (reference initialZeroHebb, unet_p_res.py:136)."""
+        return jnp.zeros((batch, self.nbf, self.nbf), dtype=dtype)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hebb: jax.Array, train: bool = False) -> PlasticOutput:
+        if x.ndim == 3:  # allow unbatched convenience input
+            x = x[None]
+            hebb = hebb[None] if hebb.ndim == 2 else hebb
+        n = self.neurons
+
+        # Plastic parameters (reference init distributions, unet_p_res.py:32-34)
+        w = self.param("w", lambda k, s: 0.01 * jax.random.normal(k, s), (self.nbf, self.nbf))
+        alpha = self.param("alpha", lambda k, s: 0.01 * jax.random.uniform(k, s), (self.nbf, self.nbf))
+        eta = self.param("eta", lambda k, s: 0.01 * jnp.ones(s), (1,))
+        pparams = plasticity.PlasticParams(w=w, alpha=alpha, eta=eta)
+
+        det = not train
+
+        # Encoder: 101 -> 50 -> 25 -> 12 -> 6
+        xc1 = DownRes(self.n_channels, n, self.batch_norm)(x, train)
+        x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
+        xc2 = DownRes(n, n * 2, self.batch_norm)(x1, train)
+        x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
+        xc3 = DownRes(n * 2, n * 4, self.batch_norm)(x2, train)
+        x3 = channel_dropout(max_pool_2x2(xc3), self.dropout_ratio, det)
+        xc4 = DownRes(n * 4, n * 8, self.batch_norm)(x3, train)
+        x4 = channel_dropout(max_pool_2x2(xc4), self.dropout_ratio, det)
+
+        # Middle
+        x5 = Middle(n * 8, n * 16, self.batch_norm)(x4, train)
+
+        # Decoder: 6 -> 12 -> 25 -> 50 -> 101
+        u = UpRes(n * 16, n * 8, self.dropout_ratio)(x5, xc4, train)
+        u = UpRes(n * 8, n * 4, self.dropout_ratio)(u, xc3, train)
+        u = UpRes(n * 4, n * 2, self.dropout_ratio)(u, xc2, train)
+        u = UpRes(n * 2, n * 1, self.dropout_ratio)(u, xc1, train)
+
+        out = conv1(self.n_classes, n)(u)  # (B, H, W, n_classes)
+
+        b = out.shape[0]
+        if out.size != b * self.nbf * self.nbf:
+            raise ValueError(
+                "U-Net output (%s) cannot be reshaped to (B, nbf=%d, nbf); "
+                "nbf must equal the image width (reference sets nbf=img_width, "
+                "train.py:285-288)" % (out.shape, self.nbf)
+            )
+        activin = out.reshape(b, self.nbf, self.nbf)
+
+        if self.use_pallas:
+            from plastic_unet_tpu.ops.pallas_plastic import plastic_head_pallas_batched
+
+            activ, activout, new_hebb = plastic_head_pallas_batched(
+                pparams, activin, hebb, rule=self.rule, alfa_type=self.alfa_type
+            )
+        else:
+            head = lambda a, h: plasticity.plastic_head_logits(
+                pparams, a, h, rule=self.rule, alfa_type=self.alfa_type
+            )
+            activ, activout, new_hebb = jax.vmap(head)(activin, hebb)
+
+        return PlasticOutput(activ=activ, activout=activout, hebb=new_hebb)

@@ -99,7 +99,9 @@ def unetp_name_map(bilinear_upsample: bool = False) -> dict:
 def _to_numpy(v) -> np.ndarray:
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v)
+    # Copy: torch .numpy() aliases live parameter memory, and in-place
+    # optimizer steps would otherwise mutate the converted arrays.
+    return np.array(v, copy=True)
 
 
 def state_dict_to_flax_params(state_dict: Mapping[str, Any], name_map: dict) -> dict:

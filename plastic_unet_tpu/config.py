@@ -1,0 +1,79 @@
+"""Run configuration — a single dataclass replacing the reference's mutable
+params dict (src/train.py:267-282) and optparse flag sets, preserving every
+reference flag name/semantic (SURVEY.md §5 'Config / flag system') and
+adding the TPU-native knobs as explicit, documented options.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # --- reference hyperparameters (train.py:213-231 defaults) ---
+    out_dir: str = "./out"
+    epochs: int = 5
+    lr: float = 3e-5
+    val_ratio: float = 0.05  # stored-but-unused in the reference too (SURVEY §2.1)
+    val_every: int = 50
+    save_every: int = 100
+    gamma: float = 0.666
+    steplr: float = 1e6
+    rollout: int = 50000
+    prule: str = "hebb"
+    max_train_time: int = -1  # seconds; predictive early stop (train.py:118-122)
+    debug: bool = False
+    load: bool = False
+    model_path: str = "MODEL.pth"
+
+    # --- geometry (train.py:370-372) ---
+    im_width: int = 101
+    im_height: int = 101
+    im_chan: int = 1
+
+    # --- model family / architecture ---
+    arch: str = "unet_res"  # 'unet_res' | 'unet' | 'coord_conv'
+    neurons: int = 16
+    dropout_ratio: float = 0.5
+    alfa_type: str = "free"
+    batch_norm: bool = False
+    bilinear_upsample: bool = False
+
+    # --- TPU-native knobs (capability extensions; defaults = reference parity) ---
+    lanes: int = 1  # parallel lifetime streams per device (1 == reference)
+    loss_space: str = "logits"  # 'logits' (stable) | 'probs' (torch-exact clamp)
+    matmul_precision: str = "perf"  # 'parity' for bit-faithful fp32
+    use_pallas: bool = False  # fused Pallas plastic head
+    augment: bool = False  # random flip/rotate (new capability)
+    tta: Sequence[str] = ("identity",)  # inference-time TTA views
+    seed: int = 42
+    quirk_epoch_loss: bool = True  # reproduce train.py:115 (all_losses[-N] scalar)
+    trace_mode: str = "per_device"  # 'per_device' (faithful) | 'pmean' (throughput)
+
+    @property
+    def stop_time(self) -> float:
+        return time.time() + self.max_train_time if self.max_train_time > 0 else -1.0
+
+    def as_run_params(self, stop_time: float | None = None) -> dict:
+        """The reference's pickled params-dict shape (train.py:267-282)."""
+        return {
+            "out_dir": self.out_dir,
+            "device": "tpu",
+            "epochs": self.epochs,
+            "stop_time": self.stop_time if stop_time is None else stop_time,
+            "lr": self.lr,
+            "val_ratio": self.val_ratio,
+            "val_every": self.val_every,
+            "save_every": self.save_every,
+            "rollout": self.rollout,
+            "gamma": self.gamma,
+            "steplr": self.steplr,
+            "prule": self.prule,
+            "im_width": self.im_width,
+            "im_height": self.im_height,
+            "im_chan": self.im_chan,
+            "debug": self.debug,
+        }

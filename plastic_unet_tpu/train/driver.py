@@ -1,0 +1,251 @@
+"""Training driver — the reference train()/start_train() flow
+(src/train.py:29-314) rebuilt around the jitted whole-epoch scan.
+
+Reproduced observable behaviors:
+  * per-epoch hebb re-zero (train.py:88) and the per-sample update stream
+  * predictive wall-clock stop: terminate when the *estimated* end of the
+    next epoch would exceed stop_time (train.py:118-122, 206-211)
+  * validation every val_every epochs and at termination (train.py:131-147)
+  * checkpoints every save_every epochs and at termination, with filename
+    rollout every `rollout` epochs (train.py:153-203); artifacts in the
+    reference's exact HDF5/pickle/.pth formats (see train.checkpoint)
+  * KeyboardInterrupt -> INTERRUPTED checkpoint (train.py:306-312)
+  * resume from a .pth (train.py:293-296) or from an Orbax TrainState
+  * the train.py:115 epoch-loss quirk (np.mean of the single element
+    all_losses[-N]) is reproduced when cfg.quirk_epoch_loss (default);
+    setting it False uses the intended mean over the epoch — a documented,
+    opt-in fix (SURVEY.md §2.1).
+
+TPU-native differences: the sample stream lives on device for the whole
+epoch; losses come back as one (S,) array per epoch; the model is selected
+by cfg.arch; matmul precision follows cfg.matmul_precision.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from datetime import datetime
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from plastic_unet_tpu.config import TrainConfig
+from plastic_unet_tpu.eval.evaluate import eval_net
+from plastic_unet_tpu.models import UNetP, UNetPRes
+from plastic_unet_tpu.ops.augment import augment_stream
+from plastic_unet_tpu.train.checkpoint import orbax_save, save_reference_artifacts
+from plastic_unet_tpu.train.loop import TrainState, create_train_state, make_epoch_fn, reshape_stream
+from plastic_unet_tpu.train.optimizer import adam_step_lr
+from plastic_unet_tpu.utils.precision import matmul_precision
+
+
+def build_model(cfg: TrainConfig):
+    """Instantiate the configured model family (nbf = img width, as at every
+    reference call site, train.py:285-288)."""
+    if cfg.arch == "unet_res":
+        return UNetPRes(
+            n_channels=cfg.im_chan,
+            n_classes=1,
+            neurons=cfg.neurons,
+            dropout_ratio=cfg.dropout_ratio,
+            alfa_type=cfg.alfa_type,
+            rule=cfg.prule,
+            nbf=cfg.im_width,
+            batch_norm=cfg.batch_norm,
+            bilinear_upsample=cfg.bilinear_upsample,
+            use_pallas=cfg.use_pallas,
+        )
+    if cfg.arch == "unet":
+        return UNetP(
+            n_channels=cfg.im_chan,
+            n_classes=1,
+            alfa_type=cfg.alfa_type,
+            rule=cfg.prule,
+            nbf=cfg.im_width,
+            batch_norm=cfg.batch_norm,
+            bilinear_upsample=cfg.bilinear_upsample,
+            use_pallas=cfg.use_pallas,
+        )
+    raise ValueError(f"unknown arch {cfg.arch!r} (use 'unet_res' or 'unet')")
+
+
+def name_map_for(cfg: TrainConfig):
+    from plastic_unet_tpu.utils import torch_interop as ti
+
+    return ti.unetp_res_name_map() if cfg.arch == "unet_res" else ti.unetp_name_map(cfg.bilinear_upsample)
+
+
+class TrainResult:
+    def __init__(self, state, all_losses, val_train_losses, val_test_losses, val_accuracies, model):
+        self.state = state
+        self.all_losses = all_losses
+        self.val_train_losses = val_train_losses
+        self.val_test_losses = val_test_losses
+        self.val_accuracies = val_accuracies
+        self.model = model
+
+
+def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainConfig, stop_time: float | None = None) -> TrainResult:
+    """Run the epoch loop. Arrays arrive in the reference's NCHW contract and
+    are staged to device NHWC once."""
+    print("Train samples shape:", x_train.shape)
+    print("Train labels shape:", y_train.shape)
+    print("Validation samples shape:", x_val.shape)
+    print("Validation labels shape:", y_val.shape)
+    print(cfg)
+
+    stop_time = cfg.stop_time if stop_time is None else stop_time
+    if stop_time > 0:
+        print(
+            "Training started at: [%s] and set to stop at: [%s]"
+            % (
+                datetime.fromtimestamp(time.time()).strftime("%B %d, %Y %H:%M:%S"),
+                datetime.fromtimestamp(stop_time).strftime("%B %d, %Y %H:%M:%S"),
+            )
+        )
+
+    # Stage the stream on device (NHWC), split into lanes.
+    X = jnp.asarray(np.transpose(np.asarray(x_train, np.float32), (0, 2, 3, 1)))
+    Y = jnp.asarray(np.asarray(y_train, np.float32).reshape(y_train.shape[0], cfg.im_height, cfg.im_width))
+    Xl, Yl = reshape_stream(X, Y, cfg.lanes)
+    samples_count = Xl.shape[0] * Xl.shape[1]
+
+    tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
+    epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)
+
+    all_losses: list[float] = []
+    val_train_losses: list[float] = []
+    val_test_losses: list[float] = []
+    val_accuracies: list[float] = []
+    loss_between_saves = 0.0
+    last_save_epoch = 0
+    base_rng = jax.random.PRNGKey(cfg.seed)
+    aug_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    try:
+        for epoch in range(cfg.epochs):
+            if cfg.debug:
+                print("Starting epoch %d/%d." % (epoch + 1, cfg.epochs))
+            epoch_start_time = time.time()
+
+            Xe, Ye = Xl, Yl
+            if cfg.augment:
+                aug_rng, k = jax.random.split(aug_rng)
+                Xe, Ye = augment_stream(k, Xl.reshape((-1,) + Xl.shape[2:]), Yl.reshape((-1,) + Yl.shape[2:]))
+                Xe = Xe.reshape(Xl.shape)
+                Ye = Ye.reshape(Yl.shape)
+
+            # fresh trace per epoch (train.py:88); scan the whole stream
+            state = state._replace(hebb=jnp.zeros_like(state.hebb))
+            state, losses = epoch_fn(state, Xe, Ye, jax.random.fold_in(base_rng, epoch))
+            losses = np.asarray(losses, dtype=np.float64)
+            all_losses.extend(losses.tolist())
+
+            if cfg.quirk_epoch_loss:
+                # train.py:115 quirk: indexes ONE element (missing ':')
+                epoch_loss = float(np.mean(all_losses[-samples_count]))
+            else:
+                epoch_loss = float(np.mean(all_losses[-samples_count:]))
+            loss_between_saves += epoch_loss
+
+            epoch_time = time.time() - epoch_start_time
+            next_epoch_finish_time = epoch_time + time.time()
+            terminate_training = (
+                stop_time > 0 and next_epoch_finish_time >= stop_time
+            ) or (epoch + 1) == cfg.epochs
+
+            if cfg.debug:
+                print(
+                    "Epoch finished! Loss: %f, time spent: %d, terminate due to time limits: %s"
+                    % (epoch_loss, epoch_time, terminate_training)
+                )
+
+            if (epoch + 1) % cfg.val_every == 0 or terminate_training:
+                xv = np.transpose(np.asarray(x_val, np.float32), (0, 2, 3, 1))
+                val_acc, val_loss = eval_net(model, state.params, xv, np.asarray(y_val, np.float32))
+                val_train_losses.append(epoch_loss)
+                val_test_losses.append(val_loss)
+                val_accuracies.append(val_acc)
+                if cfg.debug:
+                    print("Validation accuracy: %f, loss: %f" % (val_acc, val_loss))
+                    print("Eta:", np.asarray(state.params["eta"]))
+                    sys.stdout.flush()
+
+            if (epoch + 1) % cfg.save_every == 0 or terminate_training:
+                if cfg.debug:
+                    print("Saving checkpoint files for epoch:", epoch)
+                epochs_since_last_cp = max(epoch - last_save_epoch, 1)
+                last_save_epoch = epoch
+                if cfg.debug:
+                    print(
+                        "Average loss over the last %d epochs: %f"
+                        % (epochs_since_last_cp, loss_between_saves / epochs_since_last_cp)
+                    )
+                loss_between_saves = 0.0
+
+                local_prefix = os.path.join(cfg.out_dir, "train")
+                if (epoch + 1) % cfg.rollout == 0 and not terminate_training:
+                    local_prefix = local_prefix + "_" + str(epoch + 1)
+                save_reference_artifacts(
+                    local_prefix,
+                    state.params,
+                    cfg.as_run_params(stop_time),
+                    all_losses,
+                    val_train_losses,
+                    val_test_losses,
+                    val_accuracies,
+                    name_map=name_map_for(cfg),
+                )
+                orbax_save(os.path.join(cfg.out_dir, "orbax_state"), state)
+
+            if terminate_training:
+                if stop_time > 0 and next_epoch_finish_time >= stop_time:
+                    print("Training terminated due to the time limits!")
+                    print("Current epoch %d, train loss: %s" % (epoch, epoch_loss))
+                    print(
+                        "Stop time limit: %d, estimated time of next epoch end: %d"
+                        % (stop_time, next_epoch_finish_time)
+                    )
+                break
+    except KeyboardInterrupt:
+        save_reference_artifacts(
+            os.path.join(cfg.out_dir, "INTERRUPTED"),
+            state.params,
+            cfg.as_run_params(stop_time),
+            all_losses,
+            val_train_losses,
+            val_test_losses,
+            val_accuracies,
+            name_map=name_map_for(cfg),
+        )
+        print("Saved interrupt")
+        raise
+
+    return TrainResult(state, all_losses, val_train_losses, val_test_losses, val_accuracies, model)
+
+
+def start_train(x_train, x_valid, y_train, y_valid, cfg: TrainConfig) -> TrainResult:
+    """Create/initialize (or resume) the model and run training
+    (reference start_train, train.py:213-314)."""
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    stop_time = cfg.stop_time
+
+    with matmul_precision(cfg.matmul_precision):
+        model = build_model(cfg)
+        tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(cfg.seed), (cfg.im_height, cfg.im_width, cfg.im_chan), lanes=cfg.lanes
+        )
+
+        if cfg.load:
+            from plastic_unet_tpu.utils.torch_interop import load_pth, state_dict_to_flax_params
+
+            params = state_dict_to_flax_params(load_pth(cfg.model_path), name_map_for(cfg))
+            state = state._replace(params=params, opt_state=tx.init(params))
+            print("Model loaded from %s" % cfg.model_path)
+
+        return train(model, state, x_train, x_valid, y_train, y_valid, cfg, stop_time=stop_time)

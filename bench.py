@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Benchmark: TGS-Salt images/sec/chip on the flagship config.
+
+Measures (on whatever accelerator jax.devices()[0] is — the real TPU chip
+under the driver):
+  * train: the scan-based lifetime training loop in reference-parity mode
+    (B=1 stream, per-sample Adam+StepLR, hebb carry) on 101x101 tiles,
+    UNetPRes(neurons=16, rule=hebb) — the exact semantics of the reference's
+    hot loop (train.py:91-112). This is the headline metric.
+  * train (lane mode): 8 parallel lifetime streams (throughput extension).
+  * infer+TTA: batched zero-trace inference with identity+hflip TTA merge.
+
+Timing note: device->host transfers (np.asarray) are used as sync points —
+block_until_ready alone does not reliably wait through the axon relay.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline compares against the self-measured reference throughput in
+bench_baseline.json (the reference publishes no numbers, BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    """Force completion by pulling a value to host."""
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf)
+
+
+def bench_train(lanes: int, steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from plastic_unet_tpu.data.synthetic import synthetic_tiles
+    from plastic_unet_tpu.models import UNetPRes
+    from plastic_unet_tpu.train.loop import create_train_state, make_epoch_fn, reshape_stream
+    from plastic_unet_tpu.train.optimizer import adam_step_lr
+
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule="hebb")
+    tx = adam_step_lr(3e-4, 0.666, 1e5)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=lanes)
+
+    n = steps * lanes
+    base = min(n, 512)
+    imgs, masks = synthetic_tiles(base, size=101, seed=0)
+    reps = -(-n // base)
+    imgs = np.tile(imgs, (reps, 1, 1, 1))[:n]
+    masks = np.tile(masks, (reps, 1, 1, 1))[:n]
+    X = jnp.asarray(np.transpose(imgs, (0, 2, 3, 1)))
+    Y = jnp.asarray(masks[:, 0])
+    Xl, Yl = reshape_stream(X, Y, lanes=lanes)
+
+    epoch_fn = make_epoch_fn(model, tx, loss_space="logits", donate=False)
+    rng = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    s, losses = epoch_fn(state, Xl, Yl, rng)
+    _sync(losses)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    s, losses = epoch_fn(s, Xl, Yl, rng)
+    _sync(losses)
+    dt = time.time() - t0
+    return n / dt, compile_s
+
+
+def bench_infer_tta(n_infer: int):
+    import jax.numpy as jnp
+
+    import jax
+
+    from plastic_unet_tpu.data.synthetic import synthetic_tiles
+    from plastic_unet_tpu.models import UNetPRes
+    from plastic_unet_tpu.submit.inference import predict_masks_tta
+
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16)
+    x0 = jnp.zeros((1, 101, 101, 1))
+    params = model.init(jax.random.PRNGKey(0), x0, model.initial_zero_hebb(1))["params"]
+
+    timgs, _ = synthetic_tiles(n_infer, size=101, seed=1)
+    Xt = jnp.asarray(np.transpose(timgs, (0, 2, 3, 1)))
+    preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=64)
+    _sync(preds)
+    t0 = time.time()
+    preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=64)
+    _sync(preds)
+    return n_infer / (time.time() - t0)
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    steps = int(os.environ.get("BENCH_TRAIN_STEPS", 256))
+    n_infer = int(os.environ.get("BENCH_INFER_SAMPLES", 512))
+
+    train_ips, compile_s = bench_train(lanes=1, steps=steps)
+    lane_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32))
+    infer_ips = bench_infer_tta(n_infer)
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")) as f:
+            baseline = json.load(f)
+    except Exception:
+        pass
+    base_train = baseline.get("train_images_per_sec") if baseline else None
+
+    result = {
+        "metric": "TGS-Salt train images/sec/chip (reference-parity lifetime loop, UNetPRes nbf=101)",
+        "value": round(train_ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(train_ips / base_train, 1) if base_train else None,
+        "train_8lane_images_per_sec": round(lane_ips, 1),
+        "infer_tta_images_per_sec": round(infer_ips, 1),
+        "infer_vs_baseline": round(infer_ips / baseline["infer_images_per_sec"], 1) if baseline else None,
+        "compile_seconds": round(compile_s, 1),
+        "device": str(dev),
+        "baseline_source": baseline.get("hardware") if baseline else "none",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

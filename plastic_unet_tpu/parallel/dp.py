@@ -1,0 +1,120 @@
+"""Data-parallel lifetime training over a device mesh (shard_map + psum).
+
+The hebb trace is *sequential state* (sample n+1 depends on n), which the
+single-stream reference never had to shard. Two explicit trace-coherence
+modes (SURVEY.md §2.3):
+
+  * 'per_device' (faithful): every device (and lane) carries its own
+    independent lifetime trace over its shard of the sample stream — the
+    reference's "one stream per process" semantics, D/B-fold throughput.
+  * 'pmean' (throughput): traces are additionally averaged across the data
+    axis every step, keeping one coherent trace fleet-wide (BASELINE.json's
+    "coherent per-device Hebbian traces").
+
+Gradients are pmean'd across the data axis each step (ICI all-reduce);
+parameters and optimizer state stay replicated, so every device applies the
+identical Adam update — verified equivalent to single-device lane training
+in tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plastic_unet_tpu.ops.losses import bce_logits, bce_probs
+from plastic_unet_tpu.parallel.mesh import DATA_AXIS
+from plastic_unet_tpu.train.loop import TrainState
+
+
+def make_dp_epoch_fn(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    loss_space: str = "logits",
+    trace_mode: str = "per_device",
+) -> Callable:
+    """Build the jitted data-parallel whole-epoch function.
+
+    Signature: (state, X, Y, rng) -> (state, losses)
+      X: (S, D*L, H, W, C), Y: (S, D*L, H, W) with the lane axis sharded
+      over the mesh 'data' axis (L = lanes per device); state.hebb is
+      (D*L, nbf, nbf), likewise sharded; params/opt_state replicated.
+    Per step: one Adam update from the pmean'd gradient of the lane-mean
+    loss. Returned losses (S,) are the global per-step mean.
+    """
+    if trace_mode not in ("per_device", "pmean"):
+        raise ValueError(f"unknown trace_mode {trace_mode!r}")
+
+    def loss_fn(params, img, mask, hebb, drop_rng):
+        out = model.apply(
+            {"params": params},
+            img,
+            jax.lax.stop_gradient(hebb),
+            train=True,
+            rngs={"dropout": drop_rng},
+        )
+        loss = bce_probs(out.activout, mask) if loss_space == "probs" else bce_logits(out.activ, mask)
+        return loss, out.hebb
+
+    def shard_body(params, opt_state, hebb, step, Xs, Ys, rng):
+        """Runs per device. Xs: (S, L, H, W, C) local shard."""
+
+        def body(carry, batch):
+            params, opt_state, hebb, step = carry
+            img, mask = batch
+            drop_rng = jax.random.fold_in(jax.random.fold_in(rng, step), jax.lax.axis_index(DATA_AXIS))
+            (loss, new_hebb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, img, mask, hebb, drop_rng)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if trace_mode == "pmean":
+                new_hebb = jnp.broadcast_to(
+                    jax.lax.pmean(jnp.mean(new_hebb, axis=0, keepdims=True), DATA_AXIS), new_hebb.shape
+                )
+            return (new_params, new_opt, new_hebb, step + 1), loss
+
+        (params, opt_state, hebb, step), losses = jax.lax.scan(body, (params, opt_state, hebb, step), (Xs, Ys))
+        return params, opt_state, hebb, step, losses
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
+        out_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+        check_vma=False,  # params provably replicated via pmean'd grads
+    )
+
+    @jax.jit
+    def epoch(state: TrainState, X, Y, rng):
+        params, opt_state, hebb, step, losses = sharded(state.params, state.opt_state, state.hebb, state.step, X, Y, rng)
+        return TrainState(params, opt_state, hebb, step), losses
+
+    return epoch
+
+
+def shard_stream(X, Y, mesh: Mesh, lanes_per_device: int = 1):
+    """Split a sample stream (N, ...) into (S, D*L, ...) with the lane axis
+    sharded over the mesh, placing each device's lane chunk locally."""
+    d = mesh.devices.size
+    total_lanes = d * lanes_per_device
+    n = X.shape[0]
+    s = n // total_lanes
+    Xl = X[: s * total_lanes].reshape(total_lanes, s, *X.shape[1:]).swapaxes(0, 1)
+    Yl = Y[: s * total_lanes].reshape(total_lanes, s, *Y.shape[1:]).swapaxes(0, 1)
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.device_put(Xl, sharding), jax.device_put(Yl, sharding)
+
+
+def dp_state_sharding(mesh: Mesh):
+    """(params/opt_state replicated, hebb lane-sharded, step replicated)."""
+    rep = NamedSharding(mesh, P())
+    lane = NamedSharding(mesh, P(DATA_AXIS))
+    return rep, lane

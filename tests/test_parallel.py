@@ -1,0 +1,76 @@
+"""Data-parallel training on the 8-virtual-device CPU mesh: sharded epochs
+must run, keep params replicated, and (in per-device trace mode) match
+single-device lane training exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plastic_unet_tpu.models import UNetPRes
+from plastic_unet_tpu.parallel import make_dp_epoch_fn, make_mesh, shard_stream
+from plastic_unet_tpu.train.loop import TrainState, create_train_state, make_epoch_fn, reshape_stream
+from plastic_unet_tpu.train.optimizer import adam_step_lr
+
+SIZE = 16
+
+
+def _setup(lanes_total, rng, n_samples=16):
+    model = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE)
+    tx = adam_step_lr(1e-3, 0.666, 1e6)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), (SIZE, SIZE, 1), lanes=lanes_total)
+    X = rng.standard_normal((n_samples, SIZE, SIZE, 1)).astype(np.float32)
+    Y = (rng.random((n_samples, SIZE, SIZE)) > 0.5).astype(np.float32)
+    return model, tx, state, X, Y
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("trace_mode", ["per_device", "pmean"])
+def test_dp_epoch_runs(trace_mode, rng):
+    mesh = make_mesh(4)
+    model, tx, state, X, Y = _setup(4, rng)
+    Xs, Ys = shard_stream(jnp.asarray(X), jnp.asarray(Y), mesh, lanes_per_device=1)
+    assert Xs.shape == (4, 4, SIZE, SIZE, 1)
+    epoch_fn = make_dp_epoch_fn(model, tx, mesh, trace_mode=trace_mode)
+    new_state, losses = epoch_fn(state, Xs, Ys, jax.random.PRNGKey(1))
+    assert losses.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert int(new_state.step) == 4
+    if trace_mode == "pmean":
+        h = np.asarray(new_state.hebb)
+        np.testing.assert_allclose(h, np.broadcast_to(h[:1], h.shape), atol=1e-6)
+
+
+def test_dp_matches_single_device_lanes(rng):
+    """DP over D devices with per-device traces == single-device training
+    with D lanes (same grads: lane-mean == pmean of per-device means)."""
+    D = 4
+    mesh = make_mesh(D)
+    model, tx, state, X, Y = _setup(D, rng)
+
+    # single-device lane run
+    Xl, Yl = reshape_stream(jnp.asarray(X), jnp.asarray(Y), lanes=D)
+    s1, losses1 = make_epoch_fn(model, tx, lanes=D, donate=False)(state, Xl, Yl, jax.random.PRNGKey(1))
+
+    # data-parallel run (1 lane per device)
+    Xs, Ys = shard_stream(jnp.asarray(X), jnp.asarray(Y), mesh, lanes_per_device=1)
+    s2, losses2 = make_dp_epoch_fn(model, tx, mesh)(state, Xs, Ys, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(np.asarray(losses2), np.asarray(losses1), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.hebb), np.asarray(s1.hebb), atol=1e-5)
+
+
+def test_params_stay_replicated(rng):
+    mesh = make_mesh(2)
+    model, tx, state, X, Y = _setup(2, rng, n_samples=4)
+    Xs, Ys = shard_stream(jnp.asarray(X), jnp.asarray(Y), mesh, lanes_per_device=1)
+    new_state, _ = make_dp_epoch_fn(model, tx, mesh)(state, Xs, Ys, jax.random.PRNGKey(1))
+    w = new_state.params["w"]
+    assert w.sharding.is_fully_replicated

@@ -1,0 +1,105 @@
+"""Inference CLI — flag-compatible with the reference (src/infer.py:181-213).
+Run: python3 -m plastic_unet_tpu.cli.infer ..."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Infer test masks and write the RLE submission")
+    p.add_argument("--model", "-m", default="MODEL.pth", help="file in which the model is stored")
+    p.add_argument("-i", "--data", dest="data_dir", type=str, help="the directory with input test data")
+    p.add_argument("--out", "-o", dest="out_dir", default="./out", help="directory for output images")
+    p.add_argument("-g", "--gpu", action="store_true", dest="gpu", default=False,
+                   help="accepted for reference compatibility; accelerator auto-selected")
+    p.add_argument("--visualize", "-v", action="store_true", default=False,
+                   help="visualize the images as they are processed")
+    p.add_argument("--save", "-s", action="store_true", default=False, help="save the output masks")
+    p.add_argument("--mask-threshold", "-t", dest="mask_threshold", type=float,
+                   help="accepted for reference compatibility; like the reference, the threshold "
+                        "actually used comes from the best-IoU validation search (infer.py:156-171). "
+                        "Use --fixed-threshold to bypass the search.")
+    p.add_argument("--partial", "-p", action="store_true", default=False, help="run on a partial dataset")
+    p.add_argument("--partial-size", "-d", dest="partial_size", default=100, type=int, help="partial dataset size")
+    # TPU-native extensions
+    p.add_argument("--arch", default="unet_res", choices=["unet_res", "unet"])
+    p.add_argument("--neurons", default=16, type=int)
+    p.add_argument("--prule", default="hebb")
+    p.add_argument("--tta", default="identity", help="comma-separated TTA views: identity,hflip,vflip,rot180")
+    p.add_argument("--fixed-threshold", dest="fixed_threshold", type=float, default=None,
+                   help="skip the validation threshold search and use this value")
+    p.add_argument("--precision", default="perf")
+    p.add_argument("--use-pallas", action="store_true", default=False)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    t_img_width, t_img_height, t_img_chan = 101, 101, 1
+
+    if args.data_dir is None:
+        raise ValueError("The input data directory or dataset file not specified")
+
+    from plastic_unet_tpu.data.dataset import load_test_dataset, load_train_dataset
+
+    print("Getting and resizing test images... ")
+    test_df = load_test_dataset(
+        data_dir=args.data_dir,
+        img_width=t_img_width,
+        img_height=t_img_height,
+        img_chan=t_img_chan,
+        partial=args.partial,
+        part_size=args.partial_size,
+    )
+    x_train, x_valid, y_train, y_valid = load_train_dataset(
+        data_dir=args.data_dir, img_width=t_img_width, img_height=t_img_height, img_chan=t_img_chan, debug=True
+    )
+    if args.partial:
+        x_valid = x_valid[: args.partial_size]
+        y_valid = y_valid[: args.partial_size]
+    print("Done!")
+
+    from plastic_unet_tpu.config import TrainConfig
+    from plastic_unet_tpu.submit.inference import predict, start_inference
+    from plastic_unet_tpu.train.driver import build_model, name_map_for
+    from plastic_unet_tpu.utils.precision import matmul_precision
+    from plastic_unet_tpu.utils.torch_interop import load_pth, state_dict_to_flax_params
+
+    cfg = TrainConfig(
+        arch=args.arch, neurons=args.neurons, prule=args.prule,
+        im_width=t_img_width, im_height=t_img_height, im_chan=t_img_chan,
+        use_pallas=args.use_pallas,
+    )
+    tta = tuple(args.tta.split(","))
+
+    with matmul_precision(args.precision):
+        model = build_model(cfg)
+        print("Loading model %s" % args.model)
+        params = state_dict_to_flax_params(load_pth(args.model), name_map_for(cfg))
+
+        if args.fixed_threshold is not None:
+            run_params = {
+                "out_dir": args.out_dir,
+                "img_width": t_img_width,
+                "img_height": t_img_height,
+                "img_chan": t_img_chan,
+                "mask_threshold": args.fixed_threshold,
+                "subm_file": "submission.csv",
+                "debug": True,
+            }
+            predict(model, params, test_df, run_params, visualize=args.visualize, save_masks=args.save, tta=tta)
+        else:
+            start_inference(
+                model, params, test_df, x_valid, y_valid,
+                out_dir=args.out_dir,
+                img_width=t_img_width, img_height=t_img_height, img_chan=t_img_chan,
+                visualize=args.visualize, save_masks=args.save, tta=tta, debug=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

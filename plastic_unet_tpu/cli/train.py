@@ -1,0 +1,109 @@
+"""Training CLI — flag-compatible with the reference (src/train.py:316-358),
+plus TPU-native extensions. Run: python3 -m plastic_unet_tpu.cli.train ..."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the plastic U-Net (TPU-native)")
+    # reference flags (names/defaults from train.py:316-358)
+    p.add_argument("-e", "--epochs", dest="epochs", default=5, type=int, help="number of epochs")
+    p.add_argument("-l", "--learning-rate", dest="lr", default=3e-5, type=float, help="learning rate")
+    p.add_argument("-s", "--step-lr", dest="steplr", default=1e6, type=float, help="the learning rate annealing step")
+    p.add_argument("-g", "--gpu", action="store_true", dest="gpu", default=False,
+                   help="accepted for reference compatibility; the accelerator is auto-selected")
+    p.add_argument("--prule", "-p", default="hebb", help="the plastic rule to use when training")
+    p.add_argument("-c", "--load", dest="load", default=False, action="store_true", help="load file model")
+    p.add_argument("--model", "-m", default="MODEL.pth", help="file in which the model is stored")
+    p.add_argument("--max-train-time", dest="max_train_time", default=-1, type=int,
+                   help="max training time limit in seconds [-1 = no limit]")
+    p.add_argument("--save_every", dest="save_every", default=100, type=int, help="save results per # epochs")
+    p.add_argument("--validate_every", dest="validate_every", default=50, type=int, help="validate per # epochs")
+    p.add_argument("--rollout_every", dest="rollout_every", default=50000, type=int, help="rollout filenames per # epochs")
+    p.add_argument("-d", "--data", dest="data_dir", type=str, help="the directory with input data")
+    p.add_argument("-i", "--dataset", dest="dataset_file", type=str, help="path to an HDF5 dataset file")
+    p.add_argument("-o", "--out", dest="out_dir", type=str, required=True, help="output directory")
+    p.add_argument("-v", "--debug", action="store_true", dest="debug", default=False, help="show debug information")
+    # TPU-native extensions
+    p.add_argument("--arch", default="unet_res", choices=["unet_res", "unet"], help="model family")
+    p.add_argument("--neurons", default=16, type=int, help="first-layer width (tuned script uses 8)")
+    p.add_argument("--dropout", default=0.5, type=float, help="dropout ratio")
+    p.add_argument("--alfa-type", default="free", choices=["free", "yoked"])
+    p.add_argument("--lanes", default=1, type=int, help="parallel lifetime streams (1 = reference semantics)")
+    p.add_argument("--precision", default="perf", help="matmul precision policy: perf|parity|<jax literal>")
+    p.add_argument("--use-pallas", action="store_true", default=False, help="fused Pallas plastic head")
+    p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
+    p.add_argument("--loss-space", default="logits", choices=["logits", "probs"])
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--synthetic", default=0, type=int, metavar="N",
+                   help="train on N synthetic tiles instead of --data (smoke runs)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    print(args)
+
+    t_img_width, t_img_height, t_img_chan = 101, 101, 1
+
+    if args.synthetic:
+        from plastic_unet_tpu.data.synthetic import synthetic_split
+
+        n_val = max(args.synthetic // 5, 1)
+        x_train, x_valid, y_train, y_valid = synthetic_split(args.synthetic - n_val, n_val, size=t_img_width)
+    elif args.data_dir is not None:
+        print("Getting train images and masks from data directory %s" % args.data_dir)
+        sys.stdout.flush()
+        from plastic_unet_tpu.data.dataset import load_train_dataset
+
+        x_train, x_valid, y_train, y_valid = load_train_dataset(
+            data_dir=args.data_dir,
+            img_width=t_img_width,
+            img_height=t_img_height,
+            img_chan=t_img_chan,
+            debug=args.debug,
+        )
+        print("Done!")
+    else:
+        raise ValueError("The input data directory or dataset file not specified")
+
+    from plastic_unet_tpu.config import TrainConfig
+    from plastic_unet_tpu.train.driver import start_train
+
+    cfg = TrainConfig(
+        out_dir=args.out_dir,
+        epochs=args.epochs,
+        lr=args.lr,
+        steplr=args.steplr,
+        max_train_time=args.max_train_time,
+        save_every=args.save_every,
+        val_every=args.validate_every,
+        rollout=args.rollout_every,
+        prule=args.prule,
+        debug=args.debug,
+        load=bool(args.load),
+        model_path=args.model,
+        im_width=t_img_width,
+        im_height=t_img_height,
+        im_chan=t_img_chan,
+        arch=args.arch,
+        neurons=args.neurons,
+        dropout_ratio=args.dropout,
+        alfa_type=args.alfa_type,
+        lanes=args.lanes,
+        loss_space=args.loss_space,
+        matmul_precision=args.precision,
+        use_pallas=args.use_pallas,
+        augment=args.augment,
+        seed=args.seed,
+    )
+    return start_train(x_train, x_valid, y_train, y_valid, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,17 @@ import numpy as np
 from plastic_unet_tpu.data.images import load_image
 
 
+def _load_batch(paths: list[str], h: int, w: int) -> np.ndarray:
+    """Load a batch of grayscale PNGs (N, h, w) — native threaded C++ loader
+    when built, PIL fallback otherwise."""
+    try:
+        from plastic_unet_tpu.ops.native import load_png_gray_batch_native
+
+        return load_png_gray_batch_native(paths, h, w)
+    except Exception:
+        return np.stack([load_image(p, (h, w)) for p in paths])
+
+
 def cov_to_class(val: float) -> int:
     """Salt-coverage decile class (reference data_set.py:13-16)."""
     for i in range(0, 11):
@@ -45,15 +56,14 @@ def load_train_dataset(
     depths_df = pd.read_csv(os.path.join(data_dir, "depths.csv"), index_col="id")
     train_df = train_df.join(depths_df)
 
-    images = [
-        np.array(load_image(f"{data_dir}/train/images/{idx}.png", (img_height, img_width)))
-        for idx in train_df.index
-    ]
-    masks = [
-        np.array(load_image(f"{data_dir}/train/masks/{idx}.png", (img_height, img_width))) / 65535
-        for idx in train_df.index
-    ]
-    coverage = np.array([m.sum() for m in masks]) / (img_height * img_width)
+    images = _load_batch(
+        [f"{data_dir}/train/images/{idx}.png" for idx in train_df.index], img_height, img_width
+    )
+    masks = (
+        _load_batch([f"{data_dir}/train/masks/{idx}.png" for idx in train_df.index], img_height, img_width)
+        / 65535
+    )
+    coverage = masks.sum(axis=(1, 2)) / (img_height * img_width)
     coverage_class = [cov_to_class(c) for c in coverage]
 
     if debug:
@@ -85,8 +95,6 @@ def load_test_dataset(
     if partial:
         test_ids = test_ids[:part_size]
     test_df = pd.DataFrame(index=test_ids)
-    test_df["images"] = [
-        np.array(load_image(f"{data_dir}/test/images/{idx}.png", (img_height, img_width)))
-        for idx in test_df.index
-    ]
+    imgs = _load_batch([f"{data_dir}/test/images/{idx}.png" for idx in test_df.index], img_height, img_width)
+    test_df["images"] = list(imgs)
     return test_df

@@ -80,7 +80,10 @@ def random_flip_rotate(key: jax.Array, img: jax.Array, mask: jax.Array, channels
         x = jax.lax.cond(do_v, lambda v: flip_v(v, cl), lambda v: v, x)
         return jax.lax.switch(k_rot, [lambda v: v] + [lambda v, k=k: rot90k(v, k, cl) for k in (1, 2, 3)], x)
 
-    return apply(img, channels_last), apply(mask, channels_last)
+    # a mask with one fewer dim than the image has no channel axis: its
+    # spatial dims are the trailing two (channels_last=False semantics)
+    mask_cl = channels_last and mask.ndim == img.ndim
+    return apply(img, channels_last), apply(mask, mask_cl)
 
 
 def augment_stream(key: jax.Array, X: jax.Array, Y: jax.Array, channels_last: bool = True):

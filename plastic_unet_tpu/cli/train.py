@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lanes", default=1, type=int, help="parallel lifetime streams (1 = reference semantics)")
     p.add_argument("--precision", default="perf", help="matmul precision policy: perf|parity|<jax literal>")
     p.add_argument("--use-pallas", action="store_true", default=False, help="fused Pallas plastic head")
+    p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="trunk compute dtype (head/loss stay fp32)")
     p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
     p.add_argument("--loss-space", default="logits", choices=["logits", "probs"])
     p.add_argument("--seed", default=42, type=int)
@@ -99,6 +101,7 @@ def main(argv=None):
         loss_space=args.loss_space,
         matmul_precision=args.precision,
         use_pallas=args.use_pallas,
+        compute_dtype=args.compute_dtype,
         augment=args.augment,
         seed=args.seed,
     )

@@ -47,6 +47,7 @@ class TrainConfig:
     loss_space: str = "logits"  # 'logits' (stable) | 'probs' (torch-exact clamp)
     matmul_precision: str = "perf"  # 'parity' for bit-faithful fp32
     use_pallas: bool = False  # fused Pallas plastic head
+    compute_dtype: str = "float32"  # 'bfloat16' for MXU-native mixed precision (trunk only; head/loss stay fp32)
     augment: bool = False  # random flip/rotate (new capability)
     tta: Sequence[str] = ("identity",)  # inference-time TTA views
     seed: int = 42

@@ -61,7 +61,7 @@ def torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
-def conv3(features: int, in_features: int, name: str | None = None) -> nn.Conv:
+def conv3(features: int, in_features: int, name: str | None = None, dtype=None) -> nn.Conv:
     """3x3 'same' conv (stride 1, pad 1) with torch-default init."""
     return nn.Conv(
         features,
@@ -70,10 +70,11 @@ def conv3(features: int, in_features: int, name: str | None = None) -> nn.Conv:
         kernel_init=torch_conv_kernel_init,
         bias_init=torch_bias_init(9 * in_features),
         name=name,
+        dtype=dtype,
     )
 
 
-def conv1(features: int, in_features: int, name: str | None = None) -> nn.Conv:
+def conv1(features: int, in_features: int, name: str | None = None, dtype=None) -> nn.Conv:
     """1x1 conv with torch-default init."""
     return nn.Conv(
         features,
@@ -81,6 +82,7 @@ def conv1(features: int, in_features: int, name: str | None = None) -> nn.Conv:
         kernel_init=torch_conv_kernel_init,
         bias_init=torch_bias_init(in_features),
         name=name,
+        dtype=dtype,
     )
 
 
@@ -141,10 +143,11 @@ class ConvModule(nn.Module):
     features: int
     activation: bool = True
     batch_norm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv3(self.features, self.features)(x)
+        x = conv3(self.features, self.features, dtype=self.dtype)(x)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
         if self.activation:
@@ -163,15 +166,16 @@ class ResidualBlock(nn.Module):
 
     features: int
     batch_norm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.relu(x)  # the inplace ReLU side effect: skip becomes relu(x)
         y = h
         if self.batch_norm:
-            y = nn.BatchNorm(use_running_average=not train)(y)
-        y = ConvModule(self.features, batch_norm=self.batch_norm)(y, train)
-        y = ConvModule(self.features, activation=False, batch_norm=self.batch_norm)(y, train)
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = ConvModule(self.features, batch_norm=self.batch_norm, dtype=self.dtype)(y, train)
+        y = ConvModule(self.features, activation=False, batch_norm=self.batch_norm, dtype=self.dtype)(y, train)
         return y + h
 
 
@@ -182,12 +186,13 @@ class DownRes(nn.Module):
     in_features: int
     features: int
     batch_norm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv3(self.features, self.in_features)(x)
-        x = ResidualBlock(self.features, self.batch_norm)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm)(x, train)
+        x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
         return nn.relu(x)
 
 
@@ -197,12 +202,13 @@ class Middle(nn.Module):
     in_features: int
     features: int
     batch_norm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv3(self.features, self.in_features)(x)
-        x = ResidualBlock(self.features, self.batch_norm)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm)(x, train)
+        x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
         return nn.relu(x)
 
 
@@ -215,6 +221,7 @@ class UpRes(nn.Module):
     in_features: int
     features: int
     dropout_ratio: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -226,11 +233,12 @@ class UpRes(nn.Module):
             transpose_kernel=True,
             kernel_init=torch_convT_kernel_init,
             bias_init=torch_bias_init(9 * self.features),
+            dtype=self.dtype,
         )(x)
         x = pad_to_match(x, skip.shape[-3], skip.shape[-2])
         x = jnp.concatenate([x, skip], axis=-1)
         x = channel_dropout(x, self.dropout_ratio, deterministic=not train)
-        return Middle(self.in_features, self.features, batch_norm=False)(x, train)
+        return Middle(self.in_features, self.features, batch_norm=False, dtype=self.dtype)(x, train)
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ class UNetPRes(nn.Module):
     batch_norm: bool = False
     bilinear_upsample: bool = False  # accepted for API parity; unused, as in the reference
     use_pallas: bool = False  # route the plastic head through the Pallas kernel
+    compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU-native mixed precision
 
     def initial_zero_hebb(self, batch: int = 1, dtype=jnp.float32) -> jax.Array:
         """Batched zero trace (reference initialZeroHebb, unet_p_res.py:136)."""
@@ -69,27 +70,32 @@ class UNetPRes(nn.Module):
         pparams = plasticity.PlasticParams(w=w, alpha=alpha, eta=eta)
 
         det = not train
+        dt = self.compute_dtype
+        if dt is not None:
+            x = x.astype(dt)
 
         # Encoder: 101 -> 50 -> 25 -> 12 -> 6
-        xc1 = DownRes(self.n_channels, n, self.batch_norm)(x, train)
+        xc1 = DownRes(self.n_channels, n, self.batch_norm, dtype=dt)(x, train)
         x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
-        xc2 = DownRes(n, n * 2, self.batch_norm)(x1, train)
+        xc2 = DownRes(n, n * 2, self.batch_norm, dtype=dt)(x1, train)
         x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
-        xc3 = DownRes(n * 2, n * 4, self.batch_norm)(x2, train)
+        xc3 = DownRes(n * 2, n * 4, self.batch_norm, dtype=dt)(x2, train)
         x3 = channel_dropout(max_pool_2x2(xc3), self.dropout_ratio, det)
-        xc4 = DownRes(n * 4, n * 8, self.batch_norm)(x3, train)
+        xc4 = DownRes(n * 4, n * 8, self.batch_norm, dtype=dt)(x3, train)
         x4 = channel_dropout(max_pool_2x2(xc4), self.dropout_ratio, det)
 
         # Middle
-        x5 = Middle(n * 8, n * 16, self.batch_norm)(x4, train)
+        x5 = Middle(n * 8, n * 16, self.batch_norm, dtype=dt)(x4, train)
 
         # Decoder: 6 -> 12 -> 25 -> 50 -> 101
-        u = UpRes(n * 16, n * 8, self.dropout_ratio)(x5, xc4, train)
-        u = UpRes(n * 8, n * 4, self.dropout_ratio)(u, xc3, train)
-        u = UpRes(n * 4, n * 2, self.dropout_ratio)(u, xc2, train)
-        u = UpRes(n * 2, n * 1, self.dropout_ratio)(u, xc1, train)
+        u = UpRes(n * 16, n * 8, self.dropout_ratio, dtype=dt)(x5, xc4, train)
+        u = UpRes(n * 8, n * 4, self.dropout_ratio, dtype=dt)(u, xc3, train)
+        u = UpRes(n * 4, n * 2, self.dropout_ratio, dtype=dt)(u, xc2, train)
+        u = UpRes(n * 2, n * 1, self.dropout_ratio, dtype=dt)(u, xc1, train)
 
-        out = conv1(self.n_classes, n)(u)  # (B, H, W, n_classes)
+        out = conv1(self.n_classes, n, dtype=dt)(u)  # (B, H, W, n_classes)
+        if dt is not None:
+            out = out.astype(jnp.float32)  # plastic head + loss stay fp32
 
         b = out.shape[0]
         if out.size != b * self.nbf * self.nbf:

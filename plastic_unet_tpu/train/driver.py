@@ -47,6 +47,8 @@ def build_model(cfg: TrainConfig):
     """Instantiate the configured model family (nbf = img width, as at every
     reference call site, train.py:285-288)."""
     if cfg.arch == "unet_res":
+        import jax.numpy as jnp
+
         return UNetPRes(
             n_channels=cfg.im_chan,
             n_classes=1,
@@ -58,6 +60,7 @@ def build_model(cfg: TrainConfig):
             batch_norm=cfg.batch_norm,
             bilinear_upsample=cfg.bilinear_upsample,
             use_pallas=cfg.use_pallas,
+            compute_dtype=None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype).type,
         )
     if cfg.arch == "unet":
         return UNetP(

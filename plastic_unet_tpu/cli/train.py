@@ -53,7 +53,25 @@ def main(argv=None):
 
     t_img_width, t_img_height, t_img_chan = 101, 101, 1
 
-    if args.synthetic:
+    if args.dataset_file:
+        # Functional HDF5 dataset path (the reference parses -i/--dataset but
+        # leaves it commented out in train_model.sh:20; here it works).
+        import numpy as np
+        from sklearn.model_selection import train_test_split
+
+        from plastic_unet_tpu.data.dataset import cov_to_class
+        from plastic_unet_tpu.data.hdf5_io import load_hdf5_data_set
+
+        imgs, masks = load_hdf5_data_set(args.dataset_file)
+        t_img_height, t_img_width = imgs.shape[1:3]
+        x = imgs[..., :1].transpose(0, 3, 1, 2).astype(np.float32)
+        y = masks.transpose(0, 3, 1, 2).astype(np.float32)
+        coverage = y.mean(axis=(1, 2, 3))
+        strata = [cov_to_class(c) for c in coverage]
+        x_train, x_valid, y_train, y_valid = train_test_split(
+            x, y, test_size=0.2, stratify=strata, random_state=42
+        )
+    elif args.synthetic:
         from plastic_unet_tpu.data.synthetic import synthetic_split
 
         n_val = max(args.synthetic // 5, 1)

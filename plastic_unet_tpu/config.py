@@ -53,6 +53,8 @@ class TrainConfig:
     seed: int = 42
     quirk_epoch_loss: bool = True  # reproduce train.py:115 (all_losses[-N] scalar)
     trace_mode: str = "per_device"  # 'per_device' (faithful) | 'pmean' (throughput)
+    resume_orbax: str = ""  # path to an orbax TrainState for exact resume
+    # (params + Adam moments + trace + step; richer than .pth resume)
 
     @property
     def stop_time(self) -> float:

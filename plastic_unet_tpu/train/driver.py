@@ -244,7 +244,12 @@ def start_train(x_train, x_valid, y_train, y_valid, cfg: TrainConfig) -> TrainRe
             model, tx, jax.random.PRNGKey(cfg.seed), (cfg.im_height, cfg.im_width, cfg.im_chan), lanes=cfg.lanes
         )
 
-        if cfg.load:
+        if cfg.resume_orbax:
+            from plastic_unet_tpu.train.checkpoint import orbax_restore
+
+            state = orbax_restore(cfg.resume_orbax, jax.tree.map(lambda a: a, state))
+            print("TrainState restored from %s (step %d)" % (cfg.resume_orbax, int(state.step)))
+        elif cfg.load:
             from plastic_unet_tpu.utils.torch_interop import load_pth, state_dict_to_flax_params
 
             params = state_dict_to_flax_params(load_pth(cfg.model_path), name_map_for(cfg))

@@ -115,7 +115,10 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     X = jnp.asarray(np.transpose(np.asarray(x_train, np.float32), (0, 2, 3, 1)))
     Y = jnp.asarray(np.asarray(y_train, np.float32).reshape(y_train.shape[0], cfg.im_height, cfg.im_width))
     Xl, Yl = reshape_stream(X, Y, cfg.lanes)
-    samples_count = Xl.shape[0] * Xl.shape[1]
+    # one recorded loss per step (in lane mode each step covers `lanes`
+    # samples and records their mean; at lanes=1 this is the reference's
+    # one-loss-per-sample bookkeeping)
+    samples_count = Xl.shape[0]
 
     tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
     epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)

@@ -97,6 +97,10 @@ def bench_infer_tta(n_infer: int):
 def main():
     import jax
 
+    from plastic_unet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     dev = jax.devices()[0]
     steps = int(os.environ.get("BENCH_TRAIN_STEPS", 256))
     n_infer = int(os.environ.get("BENCH_INFER_SAMPLES", 512))

@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     img_width = img_height = 101
+
+    from plastic_unet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     img_chan = 1
 
     import numpy as np

@@ -39,6 +39,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 
+    from plastic_unet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     t_img_width, t_img_height, t_img_chan = 101, 101, 1
 
     if args.data_dir is None:

@@ -51,6 +51,10 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     print(args)
 
+    from plastic_unet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     t_img_width, t_img_height, t_img_chan = 101, 101, 1
 
     if args.dataset_file:

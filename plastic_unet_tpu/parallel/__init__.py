@@ -9,4 +9,11 @@ parallel.dp.
 """
 
 from plastic_unet_tpu.parallel.dp import dp_state_sharding, make_dp_epoch_fn, shard_stream  # noqa: F401
-from plastic_unet_tpu.parallel.mesh import DATA_AXIS, lane_sharded, make_mesh, replicated  # noqa: F401
+from plastic_unet_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    DCN_AXIS,
+    lane_sharded,
+    make_mesh,
+    make_multislice_mesh,
+    replicated,
+)

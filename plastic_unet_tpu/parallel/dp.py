@@ -39,6 +39,7 @@ def make_dp_epoch_fn(
     *,
     loss_space: str = "logits",
     trace_mode: str = "per_device",
+    axes: tuple = (DATA_AXIS,),
 ) -> Callable:
     """Build the jitted data-parallel whole-epoch function.
 
@@ -51,6 +52,8 @@ def make_dp_epoch_fn(
     """
     if trace_mode not in ("per_device", "pmean"):
         raise ValueError(f"unknown trace_mode {trace_mode!r}")
+    axes = tuple(axes)
+    lane_spec = axes if len(axes) > 1 else axes[0]
 
     def loss_fn(params, img, mask, hebb, drop_rng):
         out = model.apply(
@@ -69,15 +72,15 @@ def make_dp_epoch_fn(
         def body(carry, batch):
             params, opt_state, hebb, step = carry
             img, mask = batch
-            drop_rng = jax.random.fold_in(jax.random.fold_in(rng, step), jax.lax.axis_index(DATA_AXIS))
+            drop_rng = jax.random.fold_in(jax.random.fold_in(rng, step), jax.lax.axis_index(axes))
             (loss, new_hebb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, img, mask, hebb, drop_rng)
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.lax.pmean(grads, axes)
+            loss = jax.lax.pmean(loss, axes)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             if trace_mode == "pmean":
                 new_hebb = jnp.broadcast_to(
-                    jax.lax.pmean(jnp.mean(new_hebb, axis=0, keepdims=True), DATA_AXIS), new_hebb.shape
+                    jax.lax.pmean(jnp.mean(new_hebb, axis=0, keepdims=True), axes), new_hebb.shape
                 )
             return (new_params, new_opt, new_hebb, step + 1), loss
 
@@ -87,8 +90,8 @@ def make_dp_epoch_fn(
     sharded = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
-        out_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+        in_specs=(P(), P(), P(lane_spec), P(), P(None, lane_spec), P(None, lane_spec), P()),
+        out_specs=(P(), P(), P(lane_spec), P(), P()),
         check_vma=False,  # params provably replicated via pmean'd grads
     )
 
@@ -102,14 +105,15 @@ def make_dp_epoch_fn(
 
 def shard_stream(X, Y, mesh: Mesh, lanes_per_device: int = 1):
     """Split a sample stream (N, ...) into (S, D*L, ...) with the lane axis
-    sharded over the mesh, placing each device's lane chunk locally."""
+    sharded over all mesh axes, placing each device's lane chunk locally."""
     d = mesh.devices.size
     total_lanes = d * lanes_per_device
     n = X.shape[0]
     s = n // total_lanes
     Xl = X[: s * total_lanes].reshape(total_lanes, s, *X.shape[1:]).swapaxes(0, 1)
     Yl = Y[: s * total_lanes].reshape(total_lanes, s, *Y.shape[1:]).swapaxes(0, 1)
-    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    names = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(None, names))
     return jax.device_put(Xl, sharding), jax.device_put(Yl, sharding)
 
 

@@ -14,6 +14,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -25,6 +26,20 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_multislice_mesh(n_slices: int, devices_per_slice: int, devices=None) -> Mesh:
+    """2-D ('dcn', 'data') mesh for multi-slice pods: the outer axis crosses
+    slice boundaries (DCN), the inner axis stays within a slice (ICI).
+    Gradient all-reduces over P((DCN_AXIS, DATA_AXIS)) then ride ICI first
+    and cross DCN once per slice — the standard multi-slice DP layout."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_slices * devices_per_slice
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(n_slices, devices_per_slice)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -67,6 +67,26 @@ def test_dp_matches_single_device_lanes(rng):
     np.testing.assert_allclose(np.asarray(s2.hebb), np.asarray(s1.hebb), atol=1e-5)
 
 
+def test_multislice_mesh_dp(rng):
+    """2-D (dcn, data) mesh: 2 virtual slices x 4 devices. Gradients pmean
+    over both axes; result matches single-device 8-lane training."""
+    from plastic_unet_tpu.parallel import DATA_AXIS, DCN_AXIS, make_multislice_mesh
+
+    mesh = make_multislice_mesh(2, 4)
+    assert mesh.axis_names == (DCN_AXIS, DATA_AXIS)
+    model, tx, state, X, Y = _setup(8, rng)
+
+    Xl, Yl = reshape_stream(jnp.asarray(X), jnp.asarray(Y), lanes=8)
+    s1, losses1 = make_epoch_fn(model, tx, lanes=8, donate=False)(state, Xl, Yl, jax.random.PRNGKey(1))
+
+    Xs, Ys = shard_stream(jnp.asarray(X), jnp.asarray(Y), mesh, lanes_per_device=1)
+    s2, losses2 = make_dp_epoch_fn(model, tx, mesh, axes=(DCN_AXIS, DATA_AXIS))(state, Xs, Ys, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(np.asarray(losses2), np.asarray(losses1), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_params_stay_replicated(rng):
     mesh = make_mesh(2)
     model, tx, state, X, Y = _setup(2, rng, n_samples=4)

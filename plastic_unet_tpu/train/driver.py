@@ -151,6 +151,18 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
             losses = np.asarray(losses, dtype=np.float64)
             all_losses.extend(losses.tolist())
 
+            if not np.all(np.isfinite(losses)):
+                # failure detection (new capability): save state before dying
+                save_reference_artifacts(
+                    os.path.join(cfg.out_dir, "NAN_ABORT"),
+                    state.params, cfg.as_run_params(stop_time),
+                    all_losses, val_train_losses, val_test_losses, val_accuracies,
+                    name_map=name_map_for(cfg),
+                )
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch}; state saved to NAN_ABORT_*"
+                )
+
             if cfg.quirk_epoch_loss:
                 # train.py:115 quirk: indexes ONE element (missing ':')
                 epoch_loss = float(np.mean(all_losses[-samples_count]))

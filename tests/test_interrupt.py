@@ -1,0 +1,54 @@
+"""KeyboardInterrupt handling: the driver must save INTERRUPTED_* artifacts
+(reference train.py:306-312) before re-raising."""
+
+import os
+
+import numpy as np
+import pytest
+
+from plastic_unet_tpu.config import TrainConfig
+from plastic_unet_tpu.data.synthetic import synthetic_split
+from plastic_unet_tpu.train import driver
+
+SIZE = 32
+
+
+def test_interrupt_saves_state(tmp_path, monkeypatch):
+    x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=SIZE, seed=4)
+    cfg = TrainConfig(
+        out_dir=str(tmp_path / "out"), epochs=3, val_every=1, save_every=100,
+        im_width=SIZE, im_height=SIZE, neurons=2, matmul_precision="parity",
+    )
+
+    calls = {"n": 0}
+    real_eval = driver.eval_net
+
+    def interrupting_eval(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt
+        return real_eval(*a, **kw)
+
+    monkeypatch.setattr(driver, "eval_net", interrupting_eval)
+    with pytest.raises(KeyboardInterrupt):
+        driver.start_train(x_train, x_valid, y_train, y_valid, cfg)
+
+    prefix = os.path.join(cfg.out_dir, "INTERRUPTED")
+    assert os.path.exists(prefix + "_data.hdf5")
+    assert os.path.exists(prefix + "_parameters.dat")
+    assert os.path.exists(prefix + "_net.pth")
+
+
+def test_nan_abort_saves_state(tmp_path, monkeypatch):
+    """Non-finite loss -> FloatingPointError with NAN_ABORT_* artifacts."""
+    x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=SIZE, seed=4)
+    # poison the inputs to produce NaN losses
+    x_train = x_train.copy()
+    x_train[0] = np.nan
+    cfg = TrainConfig(
+        out_dir=str(tmp_path / "out"), epochs=2, val_every=10, save_every=100,
+        im_width=SIZE, im_height=SIZE, neurons=2, matmul_precision="parity",
+    )
+    with pytest.raises(FloatingPointError):
+        driver.start_train(x_train, x_valid, y_train, y_valid, cfg)
+    assert os.path.exists(os.path.join(cfg.out_dir, "NAN_ABORT_data.hdf5"))

@@ -94,10 +94,9 @@ def plastic_head(
     if alfa_type not in ALFA_TYPES:
         raise ValueError("Must select one plasticity coefficient type ('free' or 'yoked'), got %r" % (alfa_type,))
 
-    if alfa_type == "free":
-        eff_w = params.w + params.alpha * hebb
-    else:  # 'yoked': alpha is a shared scalar
-        eff_w = params.w + params.alpha * hebb
+    # 'free': alpha is (nbf, nbf) elementwise; 'yoked': a shared scalar
+    # (unet_p_res.py:118-123) — broadcasting covers both with one expression.
+    eff_w = params.w + params.alpha * hebb
 
     activ = jnp.dot(activin, eff_w, preferred_element_type=jnp.float32).astype(activin.dtype)
     activout = jax.nn.sigmoid(activ)
@@ -121,10 +120,9 @@ def plastic_head_logits(
     """Like :func:`plastic_head` but also returns pre-sigmoid logits, so the
     loss can be computed in stable logit space (same value as BCE on the
     sigmoid output in exact arithmetic)."""
-    if alfa_type == "free":
-        eff_w = params.w + params.alpha * hebb
-    else:
-        eff_w = params.w + params.alpha * hebb
+    if alfa_type not in ALFA_TYPES:
+        raise ValueError("Must select one plasticity coefficient type ('free' or 'yoked'), got %r" % (alfa_type,))
+    eff_w = params.w + params.alpha * hebb
     activ = jnp.dot(activin, eff_w, preferred_element_type=jnp.float32).astype(activin.dtype)
     activout = jax.nn.sigmoid(activ)
     if rule == "hebb":

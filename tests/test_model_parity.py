@@ -74,6 +74,27 @@ def test_unetp_forward_parity(rng):
     np.testing.assert_allclose(j_hebb, t_hebb, atol=ATOL)
 
 
+def test_unetp_bilinear_forward_parity(rng):
+    """UNetp with bilinear_upsample=True (align-corners Upsample path,
+    unet_p.py:152-153)."""
+    ref_mod = import_reference_module("unet.unet_p")
+    ref_net = ref_mod.UNetp(
+        n_channels=1, n_classes=1, device=torch.device("cpu"), nbf=128, bilinear_upsample=True
+    )
+    model = UNetP(n_channels=1, n_classes=1, nbf=128, bilinear_upsample=True)
+    ref_net.eval()
+    x = rng.standard_normal((1, 1, 128, 128)).astype(np.float32)
+    hebb = (rng.standard_normal((128, 128)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_hebb = ref_net(torch.from_numpy(x), torch.from_numpy(hebb))
+    params = state_dict_to_flax_params(ref_net.state_dict(), unetp_name_map(bilinear_upsample=True))
+    out = model.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(hebb)[None], train=False
+    )
+    np.testing.assert_allclose(np.asarray(out.activout[0]), t_out.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out.hebb[0]), t_hebb.numpy(), atol=ATOL)
+
+
 def test_param_count_matches_reference():
     ref_mod = import_reference_module("unet.unet_p_res")
     ref_net = ref_mod.UNetpRes(n_channels=1, n_classes=1, device=torch.device("cpu"), nbf=101)

@@ -136,6 +136,31 @@ def channel_dropout(x: jax.Array, rate: float, deterministic: bool, rng=None) ->
 # Residual-family blocks (UNetPRes, reference unet_p_res.py:142-272)
 # ---------------------------------------------------------------------------
 
+class FoldedConv3(nn.Module):
+    """3x3 'same' conv executed in 2x2 space-to-depth folded space
+    (ops.space_to_depth) — numerically equivalent to conv3 on the unfolded
+    tensor, but at 4x the channel width for MXU lane utilization (PERF.md).
+    Parameters are stored in the ordinary (3,3,in,out) layout under the same
+    names as nn.Conv, so checkpoints/optimizer state are interchangeable
+    with the unfolded path."""
+
+    features: int
+    in_features: int
+    mask_pad: tuple = (False, False)  # re-zero pad row/col (odd-size levels)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, z):
+        from plastic_unet_tpu.ops.space_to_depth import folded_conv3, mask_pad_folded
+
+        kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(9 * self.in_features), (self.features,))
+        if self.dtype is not None:
+            z, kernel, bias = z.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+        y = folded_conv3(z, kernel, bias)
+        return mask_pad_folded(y, self.features, *self.mask_pad)
+
+
 class ConvModule(nn.Module):
     """conv3x3 [+BN] [+ReLU] (reference conv_module, unet_p_res.py:142-164).
     In/out channel counts are equal by construction in the reference."""
@@ -144,10 +169,17 @@ class ConvModule(nn.Module):
     activation: bool = True
     batch_norm: bool = False
     dtype: object = None
+    folded: bool = False
+    mask_pad: tuple = (False, False)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv3(self.features, self.features, dtype=self.dtype)(x)
+        if self.folded:
+            if self.batch_norm:
+                raise NotImplementedError("batch_norm is not supported in folded mode")
+            x = FoldedConv3(self.features, self.features, self.mask_pad, self.dtype, name="Conv_0")(x)
+        else:
+            x = conv3(self.features, self.features, dtype=self.dtype)(x)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
         if self.activation:
@@ -167,6 +199,8 @@ class ResidualBlock(nn.Module):
     features: int
     batch_norm: bool = False
     dtype: object = None
+    folded: bool = False
+    mask_pad: tuple = (False, False)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -174,25 +208,37 @@ class ResidualBlock(nn.Module):
         y = h
         if self.batch_norm:
             y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
-        y = ConvModule(self.features, batch_norm=self.batch_norm, dtype=self.dtype)(y, train)
-        y = ConvModule(self.features, activation=False, batch_norm=self.batch_norm, dtype=self.dtype)(y, train)
+        y = ConvModule(
+            self.features, batch_norm=self.batch_norm, dtype=self.dtype,
+            folded=self.folded, mask_pad=self.mask_pad,
+        )(y, train)
+        y = ConvModule(
+            self.features, activation=False, batch_norm=self.batch_norm, dtype=self.dtype,
+            folded=self.folded, mask_pad=self.mask_pad,
+        )(y, train)
         return y + h
 
 
 class DownRes(nn.Module):
     """conv3x3 -> 2x residual -> ReLU (reference down, unet_p_res.py:256-272;
-    identical structure to middle, unet_p_res.py:223-238)."""
+    identical structure to middle, unet_p_res.py:223-238). With folded=True
+    the whole level runs in 2x2 space-to-depth space (input/output folded)."""
 
     in_features: int
     features: int
     batch_norm: bool = False
     dtype: object = None
+    folded: bool = False
+    mask_pad: tuple = (False, False)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
+        if self.folded:
+            x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
+        else:
+            x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
         return nn.relu(x)
 
 
@@ -203,12 +249,17 @@ class Middle(nn.Module):
     features: int
     batch_norm: bool = False
     dtype: object = None
+    folded: bool = False
+    mask_pad: tuple = (False, False)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype)(x, train)
+        if self.folded:
+            x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
+        else:
+            x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
         return nn.relu(x)
 
 
@@ -222,6 +273,7 @@ class UpRes(nn.Module):
     features: int
     dropout_ratio: float
     dtype: object = None
+    fold_middle: bool = False  # run the inner middle in space-to-depth space
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -238,6 +290,17 @@ class UpRes(nn.Module):
         x = pad_to_match(x, skip.shape[-3], skip.shape[-2])
         x = jnp.concatenate([x, skip], axis=-1)
         x = channel_dropout(x, self.dropout_ratio, deterministic=not train)
+        if self.fold_middle:
+            from plastic_unet_tpu.ops.space_to_depth import crop_hw, fold2, pad_to_even, unfold2
+
+            h, w = x.shape[-3], x.shape[-2]
+            pad = (bool(h % 2), bool(w % 2))
+            z = fold2(pad_to_even(x))
+            z = Middle(
+                self.in_features, self.features, batch_norm=False, dtype=self.dtype,
+                folded=True, mask_pad=pad,
+            )(z, train)
+            return crop_hw(unfold2(z, self.features), h, w)
         return Middle(self.in_features, self.features, batch_norm=False, dtype=self.dtype)(x, train)
 
 

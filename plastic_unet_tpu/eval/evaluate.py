@@ -38,6 +38,13 @@ def _forward_chunk(model, params, x):
     return out.activout
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _forward_all(model, params, Xc):
+    """lax.map over pre-chunked (NC, B, H, W, C) input — the whole sweep is
+    ONE device program (chunking only bounds peak memory)."""
+    return jax.lax.map(lambda x: _forward_chunk(model, params, x), Xc)
+
+
 def predict_masks(model, params, X, *, chunk: int = 64) -> jax.Array:
     """Predict sigmoid masks for X (N, H, W, C) with zero traces, chunked to
     bound device memory. Returns (N, nbf, nbf) on device."""
@@ -46,8 +53,11 @@ def predict_masks(model, params, X, *, chunk: int = 64) -> jax.Array:
     pad = (-n) % chunk
     if pad:
         X = jnp.concatenate([X, jnp.zeros((pad,) + X.shape[1:], X.dtype)], axis=0)
-    outs = [_forward_chunk(model, params, X[i : i + chunk]) for i in range(0, X.shape[0], chunk)]
-    return jnp.concatenate(outs, axis=0)[:n]
+    nc = X.shape[0] // chunk
+    if nc <= 1:
+        return _forward_chunk(model, params, X)[:n]
+    out = _forward_all(model, params, X.reshape(nc, chunk, *X.shape[1:]))
+    return out.reshape(nc * chunk, *out.shape[2:])[:n]
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -116,6 +116,7 @@ def main():
     train_ips, compile_s = bench_train(lanes=1, steps=steps)
     lane_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32))
     lane_bf16_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32), compute_dtype=jnp.bfloat16)
+    max_tp_ips, _ = bench_train(lanes=128, steps=12, compute_dtype=jnp.bfloat16)
     infer_ips = bench_infer_tta(n_infer)
 
     baseline = None
@@ -133,6 +134,7 @@ def main():
         "vs_baseline": round(train_ips / base_train, 1) if base_train else None,
         "train_8lane_images_per_sec": round(lane_ips, 1),
         "train_8lane_bf16_images_per_sec": round(lane_bf16_ips, 1),
+        "train_128lane_bf16_images_per_sec": round(max_tp_ips, 1),
         "infer_tta_images_per_sec": round(infer_ips, 1),
         "infer_vs_baseline": round(infer_ips / baseline["infer_images_per_sec"], 1) if baseline else None,
         "compile_seconds": round(compile_s, 1),

@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
 def _load_split(ids, path, im_size, with_masks: bool):
     """Load green-channel images (the reference reads channel 1 of the RGB
     PNG, coord_conv_script.py:240-243) resized to im_size, uint8 range."""
-    from plastic_unet_tpu.data.images import _resize_bilinear, load_image
+    from plastic_unet_tpu.data.images import load_image
 
     X = np.zeros((len(ids), im_size, im_size, 1), dtype=np.float32)
     Y = np.zeros((len(ids), im_size, im_size, 1), dtype=np.float32) if with_masks else None

@@ -24,7 +24,7 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

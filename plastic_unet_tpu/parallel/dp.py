@@ -19,7 +19,7 @@ in tests/test_parallel.py.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable
 
 import jax

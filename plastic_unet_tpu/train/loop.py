@@ -20,7 +20,7 @@ Throughput modes beyond the reference's batch=1 (explicit, documented):
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable, NamedTuple
 
 import jax

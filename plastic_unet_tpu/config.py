@@ -49,6 +49,8 @@ class TrainConfig:
     use_pallas: bool = False  # fused Pallas plastic head
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native mixed precision (trunk only; head/loss stay fp32)
     augment: bool = False  # random flip/rotate (new capability)
+    shuffle: bool = False  # per-epoch stream shuffle (the reference iterates
+    # the dataset in a fixed order every epoch, train.py:91 — default off)
     tta: Sequence[str] = ("identity",)  # inference-time TTA views
     seed: int = 42
     quirk_epoch_loss: bool = True  # reproduce train.py:115 (all_losses[-N] scalar)

@@ -17,3 +17,4 @@ from plastic_unet_tpu.parallel.mesh import (  # noqa: F401
     make_multislice_mesh,
     replicated,
 )
+from plastic_unet_tpu.parallel.multihost import process_local_slice, stage_global_stream  # noqa: F401

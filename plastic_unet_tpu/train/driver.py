@@ -139,11 +139,19 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
             epoch_start_time = time.time()
 
             Xe, Ye = Xl, Yl
+            if cfg.shuffle:
+                base_rng, kperm = jax.random.split(base_rng)
+                flatX = Xe.reshape((-1,) + Xe.shape[2:])
+                flatY = Ye.reshape((-1,) + Ye.shape[2:])
+                perm = jax.random.permutation(kperm, flatX.shape[0])
+                Xe = flatX[perm].reshape(Xe.shape)
+                Ye = flatY[perm].reshape(Ye.shape)
             if cfg.augment:
                 aug_rng, k = jax.random.split(aug_rng)
-                Xe, Ye = augment_stream(k, Xl.reshape((-1,) + Xl.shape[2:]), Yl.reshape((-1,) + Yl.shape[2:]))
-                Xe = Xe.reshape(Xl.shape)
-                Ye = Ye.reshape(Yl.shape)
+                shp_x, shp_y = Xe.shape, Ye.shape
+                Xa, Ya = augment_stream(k, Xe.reshape((-1,) + Xe.shape[2:]), Ye.reshape((-1,) + Ye.shape[2:]))
+                Xe = Xa.reshape(shp_x)
+                Ye = Ya.reshape(shp_y)
 
             # fresh trace per epoch (train.py:88); scan the whole stream
             state = state._replace(hebb=jnp.zeros_like(state.hebb))

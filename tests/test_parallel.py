@@ -94,3 +94,30 @@ def test_params_stay_replicated(rng):
     new_state, _ = make_dp_epoch_fn(model, tx, mesh)(state, Xs, Ys, jax.random.PRNGKey(1))
     w = new_state.params["w"]
     assert w.sharding.is_fully_replicated
+
+
+def test_shuffle_mode_runs(tmp_path, rng):
+    """cfg.shuffle permutes the stream per epoch and still trains."""
+    from plastic_unet_tpu.config import TrainConfig
+    from plastic_unet_tpu.data.synthetic import synthetic_split
+    from plastic_unet_tpu.train.driver import start_train
+
+    x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=16, seed=9)
+    cfg = TrainConfig(out_dir=str(tmp_path / "o"), epochs=2, val_every=1, save_every=2,
+                      im_width=16, im_height=16, neurons=2, shuffle=True,
+                      matmul_precision="parity")
+    result = start_train(x_train, x_valid, y_train, y_valid, cfg)
+    assert len(result.all_losses) == 16
+    assert np.all(np.isfinite(result.all_losses))
+
+
+def test_multihost_helpers_single_process(rng):
+    from plastic_unet_tpu.parallel import make_mesh, process_local_slice, stage_global_stream
+
+    sl = process_local_slice(100)
+    assert sl == slice(0, 100)  # single process owns everything
+    mesh = make_mesh(4)
+    X = rng.standard_normal((16, 8, 8, 1)).astype(np.float32)
+    Y = (rng.random((16, 8, 8)) > 0.5).astype(np.float32)
+    Xs, Ys = stage_global_stream(X, Y, mesh)
+    assert Xs.shape == (4, 4, 8, 8, 1)

@@ -100,7 +100,33 @@ def bench_infer_tta(n_infer: int):
     return n_infer / (time.time() - t0)
 
 
+def _watchdog(seconds: int):
+    """The TPU relay in this environment occasionally wedges (see PERF.md);
+    emit an honest failure record instead of hanging the whole round."""
+    import signal
+
+    def on_timeout(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "TGS-Salt train images/sec/chip (reference-parity lifetime loop, UNetPRes nbf=101)",
+                    "value": 0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0,
+                    "error": f"bench watchdog fired after {seconds}s (TPU relay unresponsive)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", 1200)))
+
     import jax
 
     from plastic_unet_tpu.utils import enable_compilation_cache

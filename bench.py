@@ -33,7 +33,7 @@ def _sync(x):
     np.asarray(leaf)
 
 
-def bench_train(lanes: int, steps: int, compute_dtype=None):
+def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,8 @@ def bench_train(lanes: int, steps: int, compute_dtype=None):
     from plastic_unet_tpu.train.loop import create_train_state, make_epoch_fn, reshape_stream
     from plastic_unet_tpu.train.optimizer import adam_step_lr
 
-    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule="hebb", compute_dtype=compute_dtype)
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule=rule,
+                     compute_dtype=compute_dtype, coord_conv=coord_conv)
     tx = adam_step_lr(3e-4, 0.666, 1e5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=lanes)
 
@@ -69,6 +70,68 @@ def bench_train(lanes: int, steps: int, compute_dtype=None):
     _sync(losses)
     dt = time.time() - t0
     return n / dt, compile_s
+
+
+def bench_vanilla_forward(n_infer: int):
+    """BASELINE.json config #1: vanilla U-Net (no plasticity) forward
+    inference on a 101x101 tile batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from plastic_unet_tpu.data.synthetic import synthetic_tiles
+    from plastic_unet_tpu.models import UNetPRes
+
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, plastic=False)
+    x0 = jnp.zeros((1, 101, 101, 1))
+    params = model.init(jax.random.PRNGKey(0), x0, model.initial_zero_hebb(1))["params"]
+    timgs, _ = synthetic_tiles(n_infer, size=101, seed=2)
+    Xt = jnp.asarray(np.transpose(timgs, (0, 2, 3, 1)))
+
+    @jax.jit
+    def run(Xt):
+        def chunk(x):
+            out = model.apply({"params": params}, x, model.initial_zero_hebb(x.shape[0]), train=False)
+            return out.activout
+        nc = Xt.shape[0] // 64
+        preds = jax.lax.map(chunk, Xt.reshape(nc, 64, 101, 101, 1))
+        return jnp.sum(preds > 0.5)
+
+    _sync(run(Xt))
+    t0 = time.time()
+    _sync(run(Xt))
+    return n_infer / (time.time() - t0)
+
+
+def bench_oja_epoch_with_eval(steps: int):
+    """BASELINE.json config #3: Oja rule, full train epoch with BCE loss +
+    IoU eval afterwards."""
+    import jax
+    import jax.numpy as jnp
+
+    from plastic_unet_tpu.data.synthetic import synthetic_tiles
+    from plastic_unet_tpu.eval.evaluate import eval_net
+    from plastic_unet_tpu.models import UNetPRes
+    from plastic_unet_tpu.train.loop import create_train_state, make_epoch_fn, reshape_stream
+    from plastic_unet_tpu.train.optimizer import adam_step_lr
+
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule="oja")
+    tx = adam_step_lr(3e-4, 0.666, 1e5)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=1)
+    imgs, masks = synthetic_tiles(steps, size=101, seed=3)
+    X = jnp.asarray(np.transpose(imgs, (0, 2, 3, 1)))
+    Y = jnp.asarray(masks[:, 0])
+    Xl, Yl = reshape_stream(X, Y, lanes=1)
+    epoch_fn = make_epoch_fn(model, tx, donate=False)
+    rng = jax.random.PRNGKey(1)
+    s, losses = epoch_fn(state, Xl, Yl, rng)
+    _sync(losses)
+    vimgs = np.transpose(imgs[:64], (0, 2, 3, 1))
+    eval_net(model, s.params, vimgs, masks[:64])  # warm eval path
+    t0 = time.time()
+    s, losses = epoch_fn(s, Xl, Yl, rng)
+    _sync(losses)
+    eval_net(model, s.params, vimgs, masks[:64])
+    return steps / (time.time() - t0)
 
 
 def bench_infer_tta(n_infer: int):
@@ -144,6 +207,9 @@ def main():
     lane_bf16_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32), compute_dtype=jnp.bfloat16)
     max_tp_ips, _ = bench_train(lanes=128, steps=12, compute_dtype=jnp.bfloat16)
     infer_ips = bench_infer_tta(n_infer)
+    vanilla_ips = bench_vanilla_forward(min(n_infer, 256))
+    oja_ips = bench_oja_epoch_with_eval(max(steps // 2, 64))
+    coord_ips, _ = bench_train(lanes=8, steps=32, coord_conv=True)
 
     baseline = None
     try:
@@ -162,6 +228,9 @@ def main():
         "train_8lane_bf16_images_per_sec": round(lane_bf16_ips, 1),
         "train_128lane_bf16_images_per_sec": round(max_tp_ips, 1),
         "infer_tta_images_per_sec": round(infer_ips, 1),
+        "vanilla_forward_images_per_sec": round(vanilla_ips, 1),
+        "oja_epoch_with_eval_images_per_sec": round(oja_ips, 1),
+        "coordconv_plastic_train_images_per_sec": round(coord_ips, 1),
         "infer_vs_baseline": round(infer_ips / baseline["infer_images_per_sec"], 1) if baseline else None,
         "compile_seconds": round(compile_s, 1),
         "device": str(dev),

@@ -52,6 +52,8 @@ class UNetPRes(nn.Module):
     use_pallas: bool = False  # route the plastic head through the Pallas kernel
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU-native mixed precision
     fold_hires: bool = False  # space-to-depth the thin-channel high-res levels (PERF.md)
+    plastic: bool = True  # False = vanilla U-Net (sigmoid on trunk logits, no head)
+    coord_conv: bool = False  # inject CoordConv xx/yy channels at the stem (extension)
 
     def initial_zero_hebb(self, batch: int = 1, dtype=jnp.float32) -> jax.Array:
         """Batched zero trace (reference initialZeroHebb, unet_p_res.py:136)."""
@@ -64,11 +66,19 @@ class UNetPRes(nn.Module):
             hebb = hebb[None] if hebb.ndim == 2 else hebb
         n = self.neurons
 
-        # Plastic parameters (reference init distributions, unet_p_res.py:32-34)
-        w = self.param("w", lambda k, s: 0.01 * jax.random.normal(k, s), (self.nbf, self.nbf))
-        alpha = self.param("alpha", lambda k, s: 0.01 * jax.random.uniform(k, s), (self.nbf, self.nbf))
-        eta = self.param("eta", lambda k, s: 0.01 * jnp.ones(s), (1,))
-        pparams = plasticity.PlasticParams(w=w, alpha=alpha, eta=eta)
+        if self.plastic:
+            # Plastic parameters (reference init distributions, unet_p_res.py:32-34)
+            w = self.param("w", lambda k, s: 0.01 * jax.random.normal(k, s), (self.nbf, self.nbf))
+            alpha = self.param("alpha", lambda k, s: 0.01 * jax.random.uniform(k, s), (self.nbf, self.nbf))
+            eta = self.param("eta", lambda k, s: 0.01 * jnp.ones(s), (1,))
+            pparams = plasticity.PlasticParams(w=w, alpha=alpha, eta=eta)
+
+        n_in = self.n_channels
+        if self.coord_conv:
+            from plastic_unet_tpu.ops.coords import add_coords
+
+            x = add_coords(x)
+            n_in = self.n_channels + 2
 
         det = not train
         dt = self.compute_dtype
@@ -84,7 +94,7 @@ class UNetPRes(nn.Module):
             h0, w0 = x.shape[-3], x.shape[-2]
             pad0 = (bool(h0 % 2), bool(w0 % 2))
             z1 = fold2(pad_to_even(x))
-            z1 = DownRes(self.n_channels, n, self.batch_norm, dtype=dt, folded=True, mask_pad=pad0)(z1, train)
+            z1 = DownRes(n_in, n, self.batch_norm, dtype=dt, folded=True, mask_pad=pad0)(z1, train)
             xc1 = crop_hw(unfold2(z1, n), h0, w0)
             x1 = channel_dropout(crop_hw(pool_phases(z1, n), h0 // 2, w0 // 2), self.dropout_ratio / 2, det)
 
@@ -95,7 +105,7 @@ class UNetPRes(nn.Module):
             xc2 = crop_hw(unfold2(z2, n * 2), h1, w1)
             x2 = channel_dropout(crop_hw(pool_phases(z2, n * 2), h1 // 2, w1 // 2), self.dropout_ratio, det)
         else:
-            xc1 = DownRes(self.n_channels, n, self.batch_norm, dtype=dt)(x, train)
+            xc1 = DownRes(n_in, n, self.batch_norm, dtype=dt)(x, train)
             x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
             xc2 = DownRes(n, n * 2, self.batch_norm, dtype=dt)(x1, train)
             x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
@@ -125,6 +135,11 @@ class UNetPRes(nn.Module):
                 "train.py:285-288)" % (out.shape, self.nbf)
             )
         activin = out.reshape(b, self.nbf, self.nbf)
+
+        if not self.plastic:
+            # vanilla U-Net: sigmoid directly on the trunk logits; the trace
+            # passes through untouched (BASELINE.json config #1)
+            return PlasticOutput(activ=activin, activout=jax.nn.sigmoid(activin), hebb=hebb)
 
         if self.use_pallas:
             from plastic_unet_tpu.ops.pallas_plastic import plastic_head_pallas_batched

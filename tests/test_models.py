@@ -100,3 +100,29 @@ def test_dropout_active_in_train_mode():
     # deterministic under same rng
     out_tr2 = m.apply(vs, x, m.initial_zero_hebb(1), train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     np.testing.assert_array_equal(np.asarray(out_tr.activout), np.asarray(out_tr2.activout))
+
+
+def test_vanilla_mode():
+    """plastic=False: sigmoid on trunk logits, trace passthrough, no w/alpha
+    params (BASELINE.json config #1)."""
+    m = UNetPRes(nbf=32, neurons=2, plastic=False)
+    x = jnp.ones((1, 32, 32, 1))
+    h = jnp.full((1, 32, 32), 0.5)
+    vs = m.init(jax.random.PRNGKey(0), x, h)
+    assert "w" not in vs["params"] and "alpha" not in vs["params"]
+    out = m.apply(vs, x, h)
+    np.testing.assert_array_equal(np.asarray(out.hebb), np.asarray(h))
+    np.testing.assert_allclose(
+        np.asarray(out.activout), 1 / (1 + np.exp(-np.asarray(out.activ))), atol=1e-6
+    )
+
+
+def test_coord_conv_injection_mode():
+    """coord_conv=True: stem consumes n_channels+2 inputs (BASELINE config #4)."""
+    m = UNetPRes(nbf=32, neurons=2, coord_conv=True)
+    x = jnp.ones((1, 32, 32, 1))
+    vs = m.init(jax.random.PRNGKey(0), x, m.initial_zero_hebb(1))
+    k = vs["params"]["DownRes_0"]["Conv_0"]["kernel"]
+    assert k.shape == (3, 3, 3, 2)  # in = 1 + 2 coord channels
+    out = m.apply(vs, x, m.initial_zero_hebb(1))
+    assert out.activout.shape == (1, 32, 32)

@@ -147,3 +147,12 @@ def test_max_train_time_stops_early(tmp_path):
     cfg = _cfg(tmp_path, epochs=50, max_train_time=1)  # 1 second budget
     result = start_train(x_train, x_valid, y_train, y_valid, cfg)
     assert len(result.all_losses) < 50 * 8  # stopped well before 50 epochs
+
+
+def test_augmented_training_runs(tmp_path):
+    """--augment path: random flip/rotate per epoch, training stays finite."""
+    x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=SIZE, seed=11)
+    cfg = _cfg(tmp_path, epochs=2, augment=True)
+    result = start_train(x_train, x_valid, y_train, y_valid, cfg)
+    assert len(result.all_losses) == 16
+    assert all(np.isfinite(l) for l in result.all_losses)

@@ -156,3 +156,17 @@ def test_augmented_training_runs(tmp_path):
     result = start_train(x_train, x_valid, y_train, y_valid, cfg)
     assert len(result.all_losses) == 16
     assert all(np.isfinite(l) for l in result.all_losses)
+
+
+def test_rollout_filenames(tmp_path):
+    """Filename rollout every `rollout` epochs (train.py:174-176): periodic
+    checkpoints get _<epoch+1> suffixes; the terminal save keeps the plain
+    prefix."""
+    x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=SIZE, seed=12)
+    cfg = _cfg(tmp_path, epochs=6, save_every=2, val_every=10, rollout=2)
+    start_train(x_train, x_valid, y_train, y_valid, cfg)
+    files = set(os.listdir(cfg.out_dir))
+    assert "train_2_data.hdf5" in files
+    assert "train_4_data.hdf5" in files
+    assert "train_data.hdf5" in files  # terminal save, no suffix
+    assert "train_2_net.pth" in files

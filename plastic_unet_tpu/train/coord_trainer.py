@@ -111,6 +111,10 @@ def _make_steps(model, tx):
 
 
 def _batchify(X, Y, batch_size):
+    """Full batches only (the scan needs uniform shapes); the remainder is
+    dropped for the epoch — a minor deviation from Keras, which runs a final
+    partial batch. Per-epoch shuffling means all samples are seen across
+    epochs."""
     nb = X.shape[0] // batch_size
     n = nb * batch_size
     return (

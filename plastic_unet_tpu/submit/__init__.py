@@ -4,3 +4,4 @@ from plastic_unet_tpu.submit.inference import (  # noqa: F401
     predict_masks_tta,
     start_inference,
 )
+from plastic_unet_tpu.submit.server import MaskPredictor  # noqa: F401

@@ -1,0 +1,71 @@
+"""HTTP serving endpoint: health, npy predict, RLE predict."""
+
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from plastic_unet_tpu.models import UNetPRes
+from plastic_unet_tpu.submit.http_server import serve
+from plastic_unet_tpu.submit.server import MaskPredictor
+
+SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = UNetPRes(nbf=SIZE, neurons=2)
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1)), model.initial_zero_hebb(1))
+    predictor = MaskPredictor(model, vs["params"], chunk=4, threshold=0.5)
+    srv = serve(predictor, port=0, block=False)  # port 0 = ephemeral
+    yield srv, predictor
+    srv.shutdown()
+
+
+def _url(srv, path):
+    host, port = srv.server_address
+    return f"http://{host}:{port}{path}"
+
+
+def test_healthz(server):
+    srv, _ = server
+    with urllib.request.urlopen(_url(srv, "/healthz"), timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+
+
+def test_predict_npy_roundtrip(server, rng):
+    srv, predictor = server
+    imgs = rng.standard_normal((3, SIZE, SIZE)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, imgs, allow_pickle=False)
+    req = urllib.request.Request(_url(srv, "/predict"), data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        preds = np.load(io.BytesIO(r.read()), allow_pickle=False)
+    assert preds.shape == (3, SIZE, SIZE)
+    want = predictor.predict(imgs)
+    np.testing.assert_array_equal(preds.astype(bool), want)  # threshold configured -> bool masks
+
+
+def test_predict_rle(server, rng):
+    srv, predictor = server
+    imgs = rng.standard_normal((2, SIZE, SIZE)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, imgs, allow_pickle=False)
+    req = urllib.request.Request(_url(srv, "/predict_rle"), data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        rles = json.loads(r.read())
+    assert rles == predictor.predict_rle(imgs)
+
+
+def test_bad_request(server):
+    srv, _ = server
+    req = urllib.request.Request(_url(srv, "/predict"), data=b"not-an-npy", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400

@@ -123,6 +123,10 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
     epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)
 
+    # stage validation once (NHWC on device) instead of per validation pass
+    xv = jnp.asarray(np.transpose(np.asarray(x_val, np.float32), (0, 2, 3, 1)))
+    yv = jnp.asarray(np.asarray(y_val, np.float32))
+
     all_losses: list[float] = []
     val_train_losses: list[float] = []
     val_test_losses: list[float] = []
@@ -191,8 +195,7 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                 )
 
             if (epoch + 1) % cfg.val_every == 0 or terminate_training:
-                xv = np.transpose(np.asarray(x_val, np.float32), (0, 2, 3, 1))
-                val_acc, val_loss = eval_net(model, state.params, xv, np.asarray(y_val, np.float32))
+                val_acc, val_loss = eval_net(model, state.params, xv, yv)
                 val_train_losses.append(epoch_loss)
                 val_test_losses.append(val_loss)
                 val_accuracies.append(val_acc)

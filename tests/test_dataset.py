@@ -25,15 +25,15 @@ def tgs_dir(tmp_path_factory):
     ids = [f"id{i:03d}" for i in range(N)]
     for i, idx in enumerate(ids):
         img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
-        Image.fromarray(img, mode="L").save(root / "train" / "images" / f"{idx}.png")
+        Image.fromarray(img).save(root / "train" / "images" / f"{idx}.png")
         mask = np.zeros((SIZE, SIZE), np.uint16)
         k = i % 5
         if k:
             mask[: SIZE * k // 5] = 65535
-        Image.fromarray(mask, mode="I;16").save(root / "train" / "masks" / f"{idx}.png")
+        Image.fromarray(mask).save(root / "train" / "masks" / f"{idx}.png")
     for j in range(7):
         img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
-        Image.fromarray(img, mode="L").save(root / "test" / "images" / f"t{j}.png")
+        Image.fromarray(img).save(root / "test" / "images" / f"t{j}.png")
     with open(root / "train.csv", "w") as f:
         f.write("id,rle_mask\n" + "\n".join(f"{i}," for i in ids))
     with open(root / "depths.csv", "w") as f:

@@ -53,17 +53,17 @@ def test_png_loader_matches_pil(tmp_path, rng):
     # 8-bit grayscale
     a8 = (rng.random((101, 101)) * 255).astype(np.uint8)
     p8 = str(tmp_path / "g8.png")
-    Image.fromarray(a8, mode="L").save(p8)
+    Image.fromarray(a8).save(p8)
     paths.append(p8)
     # 16-bit grayscale (TGS masks are 16-bit)
     a16 = (rng.random((101, 101)) * 65535).astype(np.uint16)
     p16 = str(tmp_path / "g16.png")
-    Image.fromarray(a16, mode="I;16").save(p16)
+    Image.fromarray(a16).save(p16)
     paths.append(p16)
     # RGB
     rgb = (rng.random((101, 101, 3)) * 255).astype(np.uint8)
     prgb = str(tmp_path / "rgb.png")
-    Image.fromarray(rgb, mode="RGB").save(prgb)
+    Image.fromarray(rgb).save(prgb)
     paths.append(prgb)
 
     got = native.load_png_gray_batch_native(paths, 101, 101)
@@ -79,7 +79,7 @@ def test_png_loader_resize(tmp_path, rng):
 
     a = (rng.random((64, 48)) * 255).astype(np.uint8)
     p = str(tmp_path / "r.png")
-    Image.fromarray(a, mode="L").save(p)
+    Image.fromarray(a).save(p)
     got = native.load_png_gray_batch_native([p], 101, 101)
     want = load_image(p, (101, 101))
     np.testing.assert_allclose(got[0], want, atol=1e-6)

@@ -56,3 +56,21 @@ def test_train_cli_synthetic(tmp_path):
     assert len(result.all_losses) == 5  # 6 tiles - 1 val
     assert os.path.exists(out / "train_data.hdf5")
     assert os.path.exists(out / "train_net.pth")
+
+
+def test_tuned_run_cli_synthetic(tmp_path):
+    """The comp-15 tuned-run pipeline end-to-end on synthetic tiles (tiny)."""
+    import os
+
+    import pandas as pd
+
+    from plastic_unet_tpu.cli.tuned_run import main
+
+    out = tmp_path / "tuned"
+    subm = main(
+        f"--synthetic 12 --epochs 1 --validate_every 1 --save_every 1 "
+        f"--neurons 2 --max-train-time -1 --out {out}".split()
+    )
+    sub = pd.read_csv(subm, keep_default_na=False)
+    assert list(sub.columns) == ["id", "rle_mask"]
+    assert os.path.exists(out / "train_net.pth")

@@ -101,3 +101,13 @@ def test_model_with_pallas_head_matches(rng):
     o2 = m_p.apply(vs, x, hebb)
     np.testing.assert_allclose(np.asarray(o2.activout), np.asarray(o1.activout), atol=1e-6)
     np.testing.assert_allclose(np.asarray(o2.hebb), np.asarray(o1.hebb), atol=1e-6)
+
+
+def test_large_nbf_padding_path(rng):
+    """nbf=150 pads to 256 lanes — exercises a non-trivial pad amount."""
+    x, w, alpha, eta, hebb = _setup(rng, nbf=150)
+    a1, y1, h1 = fused_plastic_head(x, w, alpha, eta, hebb, "oja", "free")
+    params = PlasticParams(w=w, alpha=alpha, eta=eta)
+    a2, y2, h2 = plastic_head_logits(params, x, hebb, rule="oja")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)

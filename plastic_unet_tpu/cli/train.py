@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dropout", default=0.5, type=float, help="dropout ratio")
     p.add_argument("--alfa-type", default="free", choices=["free", "yoked"])
     p.add_argument("--lanes", default=1, type=int, help="parallel lifetime streams (1 = reference semantics)")
+    p.add_argument("--devices", default=1, type=int, help="data-parallel devices (mesh over ICI)")
+    p.add_argument("--trace-mode", default="per_device", choices=["per_device", "pmean"],
+                   help="hebb-trace coherence across data-parallel devices")
     p.add_argument("--precision", default="perf", help="matmul precision policy: perf|parity|<jax literal>")
     p.add_argument("--use-pallas", action="store_true", default=False, help="fused Pallas plastic head")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
@@ -120,6 +123,8 @@ def main(argv=None):
         dropout_ratio=args.dropout,
         alfa_type=args.alfa_type,
         lanes=args.lanes,
+        devices=args.devices,
+        trace_mode=args.trace_mode,
         loss_space=args.loss_space,
         matmul_precision=args.precision,
         use_pallas=args.use_pallas,

@@ -44,6 +44,7 @@ class TrainConfig:
 
     # --- TPU-native knobs (capability extensions; defaults = reference parity) ---
     lanes: int = 1  # parallel lifetime streams per device (1 == reference)
+    devices: int = 1  # data-parallel devices (mesh over ICI); 1 = single chip
     loss_space: str = "logits"  # 'logits' (stable) | 'probs' (torch-exact clamp)
     matmul_precision: str = "perf"  # 'parity' for bit-faithful fp32
     use_pallas: bool = False  # fused Pallas plastic head

@@ -111,17 +111,25 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
             )
         )
 
-    # Stage the stream on device (NHWC), split into lanes.
+    # Stage the stream on device (NHWC), split into lanes (and shard the
+    # lane axis over a data mesh when cfg.devices > 1).
     X = jnp.asarray(np.transpose(np.asarray(x_train, np.float32), (0, 2, 3, 1)))
     Y = jnp.asarray(np.asarray(y_train, np.float32).reshape(y_train.shape[0], cfg.im_height, cfg.im_width))
-    Xl, Yl = reshape_stream(X, Y, cfg.lanes)
-    # one recorded loss per step (in lane mode each step covers `lanes`
-    # samples and records their mean; at lanes=1 this is the reference's
-    # one-loss-per-sample bookkeeping)
-    samples_count = Xl.shape[0]
 
     tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
-    epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)
+    if cfg.devices > 1:
+        from plastic_unet_tpu.parallel import make_dp_epoch_fn, make_mesh, shard_stream
+
+        mesh = make_mesh(cfg.devices)
+        Xl, Yl = shard_stream(X, Y, mesh, lanes_per_device=cfg.lanes)
+        epoch_fn = make_dp_epoch_fn(model, tx, mesh, loss_space=cfg.loss_space, trace_mode=cfg.trace_mode)
+    else:
+        Xl, Yl = reshape_stream(X, Y, cfg.lanes)
+        epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)
+    # one recorded loss per step (in lane mode each step covers all lanes
+    # and records their mean; at lanes=1/devices=1 this is the reference's
+    # one-loss-per-sample bookkeeping)
+    samples_count = Xl.shape[0]
 
     # stage validation once (NHWC on device) instead of per validation pass
     xv = jnp.asarray(np.transpose(np.asarray(x_val, np.float32), (0, 2, 3, 1)))
@@ -267,8 +275,20 @@ def start_train(x_train, x_valid, y_train, y_valid, cfg: TrainConfig) -> TrainRe
         model = build_model(cfg)
         tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
         state = create_train_state(
-            model, tx, jax.random.PRNGKey(cfg.seed), (cfg.im_height, cfg.im_width, cfg.im_chan), lanes=cfg.lanes
+            model, tx, jax.random.PRNGKey(cfg.seed),
+            (cfg.im_height, cfg.im_width, cfg.im_chan),
+            lanes=cfg.lanes * cfg.devices,
         )
+        if cfg.devices > 1:
+            # shard the per-lane trace over the data mesh; params replicated
+            from plastic_unet_tpu.parallel import dp_state_sharding, make_mesh
+
+            rep, lane = dp_state_sharding(make_mesh(cfg.devices))
+            state = state._replace(
+                params=jax.device_put(state.params, rep),
+                opt_state=jax.device_put(state.opt_state, rep),
+                hebb=jax.device_put(state.hebb, lane),
+            )
 
         if cfg.resume_orbax:
             from plastic_unet_tpu.train.checkpoint import orbax_restore

@@ -121,3 +121,22 @@ def test_multihost_helpers_single_process(rng):
     Y = (rng.random((16, 8, 8)) > 0.5).astype(np.float32)
     Xs, Ys = stage_global_stream(X, Y, mesh)
     assert Xs.shape == (4, 4, 8, 8, 1)
+
+
+def test_driver_multi_device_training(tmp_path):
+    """cfg.devices > 1 routes start_train through the DP epoch on the
+    virtual mesh (full driver path: shard, train, validate, checkpoint)."""
+    from plastic_unet_tpu.config import TrainConfig
+    from plastic_unet_tpu.data.synthetic import synthetic_split
+    from plastic_unet_tpu.train.driver import start_train
+
+    x_train, x_valid, y_train, y_valid = synthetic_split(16, 4, size=16, seed=10)
+    cfg = TrainConfig(out_dir=str(tmp_path / "dp"), epochs=2, val_every=1, save_every=2,
+                      im_width=16, im_height=16, neurons=2, devices=4, lanes=1,
+                      trace_mode="pmean", matmul_precision="parity")
+    result = start_train(x_train, x_valid, y_train, y_valid, cfg)
+    assert len(result.all_losses) == 8  # 16 samples / 4 devices = 4 steps x 2 epochs
+    assert np.all(np.isfinite(result.all_losses))
+    assert result.state.hebb.shape[0] == 4
+    import os
+    assert os.path.exists(os.path.join(cfg.out_dir, "train_data.hdf5"))

@@ -48,6 +48,7 @@ class TrainConfig:
     loss_space: str = "logits"  # 'logits' (stable) | 'probs' (torch-exact clamp)
     matmul_precision: str = "perf"  # 'parity' for bit-faithful fp32
     use_pallas: bool = False  # fused Pallas plastic head
+    plastic: bool = True  # False = vanilla U-Net head (sigmoid on trunk logits)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native mixed precision (trunk only; head/loss stay fp32)
     augment: bool = False  # random flip/rotate (new capability)
     shuffle: bool = False  # per-epoch stream shuffle (the reference iterates

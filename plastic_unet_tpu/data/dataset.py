@@ -46,15 +46,27 @@ def load_train_dataset(
     img_chan: int,
     val_ratio: float = 0.2,
     debug: bool = False,
+    return_frames: bool = False,
+    show_plots: bool = True,
 ):
     """Load + stratified-split the train set. Returns
-    (x_train, x_valid, y_train, y_valid) as NCHW float arrays."""
+    (x_train, x_valid, y_train, y_valid) as NCHW float arrays; with
+    return_frames=True additionally returns (train_df, test_df) — the
+    coverage/coverage_class/z EDA frames the reference exposes
+    (data_set.py:37-54).
+
+    debug=True reproduces the reference EDA path (data_set.py:51-54): the
+    mask spot-check print (`train_df.masks[10]`, positional row 10) and the
+    plot_coverage / plot_depth distribution plots."""
     import pandas as pd
     from sklearn.model_selection import train_test_split
 
     train_df = pd.read_csv(os.path.join(data_dir, "train.csv"), index_col="id", usecols=[0])
     depths_df = pd.read_csv(os.path.join(data_dir, "depths.csv"), index_col="id")
     train_df = train_df.join(depths_df)
+    # depths rows not in train.csv are the (unlabeled) test tiles — the
+    # reference derives its EDA test_df the same way (data_set.py:40)
+    test_df = depths_df[~depths_df.index.isin(train_df.index)]
 
     images = _load_batch(
         [f"{data_dir}/train/images/{idx}.png" for idx in train_df.index], img_height, img_width
@@ -64,17 +76,27 @@ def load_train_dataset(
         / 65535
     )
     coverage = masks.sum(axis=(1, 2)) / (img_height * img_width)
-    coverage_class = [cov_to_class(c) for c in coverage]
+    train_df["masks"] = list(masks)
+    train_df["coverage"] = coverage
+    train_df["coverage_class"] = [cov_to_class(c) for c in coverage]
 
     if debug:
-        print("coverage[:10]:", coverage[:10])
+        # reference spot-check + EDA plots (data_set.py:51-54)
+        if len(train_df) > 10:
+            print(train_df.masks.iloc[10])
+        from plastic_unet_tpu.viz.plots import plot_coverage, plot_depth
+
+        plot_coverage(train_df, show=show_plots)
+        plot_depth(train_df, test_df, show=show_plots)
 
     x = np.array(images).reshape(-1, img_chan, img_height, img_width)
     y = np.array(masks).reshape(-1, 1, img_height, img_width)
 
     x_train, x_valid, y_train, y_valid = train_test_split(
-        x, y, test_size=val_ratio, stratify=coverage_class, random_state=42
+        x, y, test_size=val_ratio, stratify=train_df["coverage_class"].tolist(), random_state=42
     )
+    if return_frames:
+        return x_train, x_valid, y_train, y_valid, train_df, test_df
     return x_train, x_valid, y_train, y_valid
 
 

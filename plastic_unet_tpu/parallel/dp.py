@@ -103,6 +103,41 @@ def make_dp_epoch_fn(
     return epoch
 
 
+def make_shard_shuffle_fn(mesh: Mesh, axes: tuple = (DATA_AXIS,)) -> Callable:
+    """Jitted shard-local epoch shuffle: (X, Y, key) -> (X', Y') where each
+    device independently permutes its own (S, L) sample block.
+
+    The naive alternative — a single global permutation of the flattened
+    (S·D·L) stream — gathers and reshards the full epoch across the mesh
+    every epoch, eating the DP throughput win. Shuffling shard-locally keeps
+    the op collective-free: input and output shardings are identical and no
+    sample ever crosses a device boundary (asserted in
+    tests/test_parallel.py::test_shard_local_shuffle).
+    """
+    axes = tuple(axes)
+    lane_spec = axes if len(axes) > 1 else axes[0]
+
+    def local_shuffle(X, Y, key):
+        # X: (S, L, ...) — this device's shard. Independent key per device.
+        key = jax.random.fold_in(key, jax.lax.axis_index(axes))
+        s, l = X.shape[0], X.shape[1]
+        perm = jax.random.permutation(key, s * l)
+
+        def apply(a):
+            flat = a.reshape((s * l,) + a.shape[2:])
+            return flat[perm].reshape(a.shape)
+
+        return apply(X), apply(Y)
+
+    sharded = jax.shard_map(
+        local_shuffle,
+        mesh=mesh,
+        in_specs=(P(None, lane_spec), P(None, lane_spec), P()),
+        out_specs=(P(None, lane_spec), P(None, lane_spec)),
+    )
+    return jax.jit(sharded)
+
+
 def shard_stream(X, Y, mesh: Mesh, lanes_per_device: int = 1):
     """Split a sample stream (N, ...) into (S, D*L, ...) with the lane axis
     sharded over all mesh axes, placing each device's lane chunk locally."""

@@ -39,9 +39,11 @@ def save_reference_artifacts(
     import h5py
 
     with h5py.File(prefix + "_data.hdf5", "w") as f:
-        f.create_dataset("net/w", data=np.asarray(params["w"]), **_H5_OPTS)
-        f.create_dataset("net/alpha", data=np.asarray(params["alpha"]), **_H5_OPTS)
-        f.create_dataset("net/eta", data=np.asarray(params["eta"]), **_H5_OPTS)
+        # net/{w,alpha,eta} exist only for plastic models; the vanilla
+        # (plastic=False) extension has no head params to record.
+        for key in ("w", "alpha", "eta"):
+            if key in params:
+                f.create_dataset(f"net/{key}", data=np.asarray(params[key]), **_H5_OPTS)
         f.create_dataset("train/all_losses", data=np.asarray(all_losses, dtype=np.float64), **_H5_OPTS)
         f.create_dataset("validation/train_losses", data=np.asarray(val_train_losses, dtype=np.float64), **_H5_OPTS)
         f.create_dataset("validation/test_losses", data=np.asarray(val_test_losses, dtype=np.float64), **_H5_OPTS)

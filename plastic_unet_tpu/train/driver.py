@@ -60,6 +60,7 @@ def build_model(cfg: TrainConfig):
             batch_norm=cfg.batch_norm,
             bilinear_upsample=cfg.bilinear_upsample,
             use_pallas=cfg.use_pallas,
+            plastic=cfg.plastic,
             compute_dtype=None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype).type,
         )
     if cfg.arch == "unet":
@@ -79,7 +80,11 @@ def build_model(cfg: TrainConfig):
 def name_map_for(cfg: TrainConfig):
     from plastic_unet_tpu.utils import torch_interop as ti
 
-    return ti.unetp_res_name_map() if cfg.arch == "unet_res" else ti.unetp_name_map(cfg.bilinear_upsample)
+    m = ti.unetp_res_name_map() if cfg.arch == "unet_res" else ti.unetp_name_map(cfg.bilinear_upsample)
+    if not cfg.plastic:
+        # vanilla extension: no plastic-head params to map
+        m = {k: v for k, v in m.items() if k not in (("w",), ("alpha",), ("eta",))}
+    return m
 
 
 class TrainResult:
@@ -117,12 +122,17 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     Y = jnp.asarray(np.asarray(y_train, np.float32).reshape(y_train.shape[0], cfg.im_height, cfg.im_width))
 
     tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
+    shuffle_fn = None
     if cfg.devices > 1:
         from plastic_unet_tpu.parallel import make_dp_epoch_fn, make_mesh, shard_stream
+        from plastic_unet_tpu.parallel.dp import make_shard_shuffle_fn
 
         mesh = make_mesh(cfg.devices)
         Xl, Yl = shard_stream(X, Y, mesh, lanes_per_device=cfg.lanes)
         epoch_fn = make_dp_epoch_fn(model, tx, mesh, loss_space=cfg.loss_space, trace_mode=cfg.trace_mode)
+        if cfg.shuffle:
+            # shard-local: a global permutation would reshard the full epoch
+            shuffle_fn = make_shard_shuffle_fn(mesh)
     else:
         Xl, Yl = reshape_stream(X, Y, cfg.lanes)
         epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)
@@ -153,11 +163,14 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
             Xe, Ye = Xl, Yl
             if cfg.shuffle:
                 base_rng, kperm = jax.random.split(base_rng)
-                flatX = Xe.reshape((-1,) + Xe.shape[2:])
-                flatY = Ye.reshape((-1,) + Ye.shape[2:])
-                perm = jax.random.permutation(kperm, flatX.shape[0])
-                Xe = flatX[perm].reshape(Xe.shape)
-                Ye = flatY[perm].reshape(Ye.shape)
+                if shuffle_fn is not None:
+                    Xe, Ye = shuffle_fn(Xe, Ye, kperm)
+                else:
+                    flatX = Xe.reshape((-1,) + Xe.shape[2:])
+                    flatY = Ye.reshape((-1,) + Ye.shape[2:])
+                    perm = jax.random.permutation(kperm, flatX.shape[0])
+                    Xe = flatX[perm].reshape(Xe.shape)
+                    Ye = flatY[perm].reshape(Ye.shape)
             if cfg.augment:
                 aug_rng, k = jax.random.split(aug_rng)
                 shp_x, shp_y = Xe.shape, Ye.shape
@@ -209,7 +222,8 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                 val_accuracies.append(val_acc)
                 if cfg.debug:
                     print("Validation accuracy: %f, loss: %f" % (val_acc, val_loss))
-                    print("Eta:", np.asarray(state.params["eta"]))
+                    if "eta" in state.params:
+                        print("Eta:", np.asarray(state.params["eta"]))
                     sys.stdout.flush()
 
             if (epoch + 1) % cfg.save_every == 0 or terminate_training:
@@ -222,6 +236,17 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                         "Average loss over the last %d epochs: %f"
                         % (epochs_since_last_cp, loss_between_saves / epochs_since_last_cp)
                     )
+                if epoch > 100:
+                    # train.py:167-170 — the reference indexes a SINGLE element
+                    # (missing ':'), so "average over 100 epochs" is really the
+                    # loss of one sample 100 epochs back; reproduced under the
+                    # same quirk flag as the epoch-loss bug (train.py:115).
+                    if cfg.quirk_epoch_loss:
+                        loss_last_100 = float(np.mean(all_losses[-samples_count * 100]))
+                    else:
+                        loss_last_100 = float(np.mean(all_losses[-samples_count * 100 :]))
+                    if cfg.debug:
+                        print("Average loss over the last 100 epochs: ", loss_last_100)
                 loss_between_saves = 0.0
 
                 local_prefix = os.path.join(cfg.out_dir, "train")

@@ -37,15 +37,17 @@ def load_train_history(hdf5_file: str) -> dict:
     import h5py
 
     with h5py.File(hdf5_file, "r") as f:
-        return {
+        hist = {
             "all_losses": f["train/all_losses"][()],
             "val_train_losses": f["validation/train_losses"][()],
             "val_test_losses": f["validation/test_losses"][()],
             "val_accuracies": f["validation/accuracies"][()],
-            "w": f["net/w"][()],
-            "alpha": f["net/alpha"][()],
-            "eta": f["net/eta"][()],
         }
+        # plastic-head params are absent for vanilla (plastic=False) runs
+        for key in ("w", "alpha", "eta"):
+            if f"net/{key}" in f:
+                hist[key] = f[f"net/{key}"][()]
+        return hist
 
 
 def moving_average(data, window_size: int):

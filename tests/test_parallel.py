@@ -111,6 +111,68 @@ def test_shuffle_mode_runs(tmp_path, rng):
     assert np.all(np.isfinite(result.all_losses))
 
 
+def test_shard_local_shuffle(rng):
+    """The DP shuffle permutes each device's lane block locally: output
+    sharding identical to input, and every device's shard holds exactly the
+    same multiset of samples before and after (no cross-shard movement)."""
+    from plastic_unet_tpu.parallel.dp import make_shard_shuffle_fn
+
+    mesh = make_mesh(8)
+    X = rng.standard_normal((32, 4, 4, 1)).astype(np.float32)
+    Y = (rng.random((32, 4, 4)) > 0.5).astype(np.float32)
+    Xs, Ys = shard_stream(jnp.asarray(X), jnp.asarray(Y), mesh, lanes_per_device=2)
+    assert Xs.shape == (2, 16, 4, 4, 1)
+    shuffle = make_shard_shuffle_fn(mesh)
+    Xp, Yp = shuffle(Xs, Ys, jax.random.PRNGKey(3))
+
+    assert Xp.sharding == Xs.sharding and Yp.sharding == Ys.sharding
+    changed = False
+    for before, after in zip(Xs.addressable_shards, Xp.addressable_shards):
+        assert before.device == after.device
+        a = np.asarray(before.data).reshape(-1, 16)
+        b = np.asarray(after.data).reshape(-1, 16)
+        # same multiset of rows per device
+        np.testing.assert_array_equal(
+            np.sort(a.sum(axis=1)), np.sort(b.sum(axis=1))
+        )
+        a_sorted = a[np.lexsort(a.T)]
+        b_sorted = b[np.lexsort(b.T)]
+        np.testing.assert_array_equal(a_sorted, b_sorted)
+        changed = changed or not np.array_equal(a, b)
+    assert changed  # at least one device actually permuted
+
+    # X and Y move together: the (img, mask) pairing is preserved
+    pairs_before = {
+        (float(np.sum(x)), float(np.sum(y)))
+        for x, y in zip(np.asarray(Xs).reshape(-1, 16), np.asarray(Ys).reshape(-1, 16))
+    }
+    pairs_after = {
+        (float(np.sum(x)), float(np.sum(y)))
+        for x, y in zip(np.asarray(Xp).reshape(-1, 16), np.asarray(Yp).reshape(-1, 16))
+    }
+    assert pairs_before == pairs_after
+
+    # collective-free: the lowered HLO contains no cross-device ops
+    hlo = shuffle.lower(Xs, Ys, jax.random.PRNGKey(3)).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo
+
+
+def test_driver_dp_shuffle_training(tmp_path):
+    """cfg.devices>1 + cfg.shuffle trains through the shard-local shuffle."""
+    from plastic_unet_tpu.config import TrainConfig
+    from plastic_unet_tpu.data.synthetic import synthetic_split
+    from plastic_unet_tpu.train.driver import start_train
+
+    x_train, x_valid, y_train, y_valid = synthetic_split(16, 4, size=16, seed=11)
+    cfg = TrainConfig(out_dir=str(tmp_path / "dps"), epochs=2, val_every=2, save_every=2,
+                      im_width=16, im_height=16, neurons=2, devices=4, lanes=1,
+                      shuffle=True, matmul_precision="parity")
+    result = start_train(x_train, x_valid, y_train, y_valid, cfg)
+    assert len(result.all_losses) == 8
+    assert np.all(np.isfinite(result.all_losses))
+
+
 def test_multihost_helpers_single_process(rng):
     from plastic_unet_tpu.parallel import make_mesh, process_local_slice, stage_global_stream
 

@@ -33,7 +33,13 @@ def _sync(x):
     np.asarray(leaf)
 
 
+# TPU v5e (lite) peak: 197 TFLOP/s bf16. MFU for fp32 configs is reported
+# against the same number (conservative: the MXU's fp32 path is slower).
+_V5E_PEAK_FLOPS = 197e12
+
+
 def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False):
+    """Returns (imgs_per_sec, compile_seconds, mfu_or_None)."""
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +66,17 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     epoch_fn = make_epoch_fn(model, tx, loss_space="logits", donate=False)
     rng = jax.random.PRNGKey(1)
 
+    # XLA's own FLOP count for the whole epoch (for MFU); may be unavailable
+    # through some backends — MFU is then omitted.
+    epoch_flops = None
+    try:
+        ca = epoch_fn.lower(state, Xl, Yl, rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        epoch_flops = float(ca["flops"])
+    except Exception:
+        pass
+
     t0 = time.time()
     s, losses = epoch_fn(state, Xl, Yl, rng)
     _sync(losses)
@@ -69,7 +86,8 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     s, losses = epoch_fn(s, Xl, Yl, rng)
     _sync(losses)
     dt = time.time() - t0
-    return n / dt, compile_s
+    mfu = (epoch_flops / dt / _V5E_PEAK_FLOPS) if epoch_flops else None
+    return n / dt, compile_s, mfu
 
 
 def bench_vanilla_forward(n_infer: int):
@@ -197,19 +215,25 @@ def main():
     enable_compilation_cache()
 
     dev = jax.devices()[0]
-    steps = int(os.environ.get("BENCH_TRAIN_STEPS", 256))
+    # Headline at the real TGS epoch scale (3,200 train samples/epoch) so
+    # per-dispatch/readback overhead is amortized the way a real run would be.
+    steps = int(os.environ.get("BENCH_TRAIN_STEPS", 3200))
     n_infer = int(os.environ.get("BENCH_INFER_SAMPLES", 512))
 
     import jax.numpy as jnp
 
-    train_ips, compile_s = bench_train(lanes=1, steps=steps)
-    lane_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32))
-    lane_bf16_ips, _ = bench_train(lanes=8, steps=max(steps // 4, 32), compute_dtype=jnp.bfloat16)
-    max_tp_ips, _ = bench_train(lanes=128, steps=12, compute_dtype=jnp.bfloat16)
+    train_ips, compile_s, train_mfu = bench_train(lanes=1, steps=steps)
+    lane_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32))
+    lane_bf16_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32), compute_dtype=jnp.bfloat16)
+    max_tp_ips, compile_128_s, max_tp_mfu = bench_train(lanes=128, steps=12, compute_dtype=jnp.bfloat16)
+    try:
+        tp256_ips, _, tp256_mfu = bench_train(lanes=256, steps=8, compute_dtype=jnp.bfloat16)
+    except Exception:
+        tp256_ips, tp256_mfu = None, None  # e.g. OOM at 256 lanes
     infer_ips = bench_infer_tta(n_infer)
     vanilla_ips = bench_vanilla_forward(min(n_infer, 256))
-    oja_ips = bench_oja_epoch_with_eval(max(steps // 2, 64))
-    coord_ips, _ = bench_train(lanes=8, steps=32, coord_conv=True)
+    oja_ips = bench_oja_epoch_with_eval(min(max(steps // 2, 64), 512))
+    coord_ips, _, _ = bench_train(lanes=8, steps=32, coord_conv=True)
 
     baseline = None
     try:
@@ -227,12 +251,18 @@ def main():
         "train_8lane_images_per_sec": round(lane_ips, 1),
         "train_8lane_bf16_images_per_sec": round(lane_bf16_ips, 1),
         "train_128lane_bf16_images_per_sec": round(max_tp_ips, 1),
+        "train_256lane_bf16_images_per_sec": round(tp256_ips, 1) if tp256_ips else None,
         "infer_tta_images_per_sec": round(infer_ips, 1),
         "vanilla_forward_images_per_sec": round(vanilla_ips, 1),
         "oja_epoch_with_eval_images_per_sec": round(oja_ips, 1),
         "coordconv_plastic_train_images_per_sec": round(coord_ips, 1),
         "infer_vs_baseline": round(infer_ips / baseline["infer_images_per_sec"], 1) if baseline else None,
+        "mfu_parity_mode": round(train_mfu, 4) if train_mfu else None,
+        "mfu_128lane_bf16": round(max_tp_mfu, 4) if max_tp_mfu else None,
+        "mfu_256lane_bf16": round(tp256_mfu, 4) if tp256_mfu else None,
+        "mfu_peak_ref_tflops": 197,
         "compile_seconds": round(compile_s, 1),
+        "compile_seconds_128lane": round(compile_128_s, 1),
         "device": str(dev),
         "baseline_source": baseline.get("hardware") if baseline else "none",
     }

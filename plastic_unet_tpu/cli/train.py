@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="trunk compute dtype (head/loss stay fp32)")
     p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
+    p.add_argument("--shuffle", action="store_true", default=False,
+                   help="per-epoch stream shuffle (shard-local under --devices)")
+    p.add_argument("--no-plastic", action="store_true", default=False,
+                   help="vanilla U-Net head (sigmoid on trunk logits, no plasticity)")
+    p.add_argument("--rng-impl", default="threefry", choices=["threefry", "rbg", "unsafe_rbg"],
+                   help="PRNG for dropout masks (rbg = TPU hardware RNG)")
     p.add_argument("--loss-space", default="logits", choices=["logits", "probs"])
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--synthetic", default=0, type=int, metavar="N",
@@ -130,6 +136,9 @@ def main(argv=None):
         use_pallas=args.use_pallas,
         compute_dtype=args.compute_dtype,
         augment=args.augment,
+        shuffle=args.shuffle,
+        plastic=not args.no_plastic,
+        rng_impl=args.rng_impl,
         seed=args.seed,
     )
     return start_train(x_train, x_valid, y_train, y_valid, cfg)

@@ -55,6 +55,9 @@ class TrainConfig:
     # the dataset in a fixed order every epoch, train.py:91 — default off)
     tta: Sequence[str] = ("identity",)  # inference-time TTA views
     seed: int = 42
+    rng_impl: str = "threefry"  # 'rbg' = TPU hardware RNG for dropout masks
+    # (fewer ops per step in the launch-bound B=1 mode; same mask
+    # distribution, different stream — parity tests keep threefry)
     quirk_epoch_loss: bool = True  # reproduce train.py:115 (all_losses[-N] scalar)
     trace_mode: str = "per_device"  # 'per_device' (faithful) | 'pmean' (throughput)
     resume_orbax: str = ""  # path to an orbax TrainState for exact resume

@@ -151,7 +151,10 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     val_accuracies: list[float] = []
     loss_between_saves = 0.0
     last_save_epoch = 0
-    base_rng = jax.random.PRNGKey(cfg.seed)
+    if cfg.rng_impl == "threefry":
+        base_rng = jax.random.PRNGKey(cfg.seed)
+    else:
+        base_rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
     aug_rng = jax.random.PRNGKey(cfg.seed + 1)
 
     try:

@@ -30,10 +30,19 @@ def step_lr_schedule(lr: float, gamma: float, step_size: float) -> optax.Schedul
     return schedule
 
 
-def adam_step_lr(lr: float, gamma: float = 0.666, step_size: float = 1e6) -> optax.GradientTransformation:
-    """Adam + per-step StepLR, matching reference train.py:66-68."""
-    return optax.chain(
+def adam_step_lr(
+    lr: float, gamma: float = 0.666, step_size: float = 1e6, fused: bool = False
+) -> optax.GradientTransformation:
+    """Adam + per-step StepLR, matching reference train.py:66-68.
+
+    fused=True wraps the transform in optax.flatten (one flat vector instead
+    of ~60 leaves). Measured NEGATIVE on TPU v5e at B=1: 576 vs 677 imgs/s —
+    the ravel concat + unravel slices cost more than the saved elementwise
+    kernels, because the step is conv-bound, not optimizer-bound (PERF.md
+    round-2 breakdown). Kept as a tested opt-in; default off."""
+    tx = optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0),
         optax.scale_by_schedule(step_lr_schedule(lr, gamma, step_size)),
         optax.scale(-1.0),
     )
+    return optax.flatten(tx) if fused else tx

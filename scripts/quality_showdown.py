@@ -1,0 +1,232 @@
+#!/usr/bin/env python3
+"""Reference-vs-rebuild quality showdown (BASELINE.md "mean-IoU parity").
+
+Trains the torch reference (imported from /root/reference, behavioral use
+only) and this framework on the SAME synthetic dataset from the SAME initial
+weights at the tuned-config scale (neurons=8, lr=3e-4, steplr=1e4 — the
+unet_p_res_script.py:1043-1056 protocol), for both plastic rules, then scores
+both stacks with the REFERENCE's own evaluation (score_model_best_iou
+semantics, /root/reference/src/eval.py:20-64: zero-trace forward per val
+sample, 31 logit-space thresholds, iou_metric_batch argmax).
+
+Usage:
+  python3 scripts/quality_showdown.py torch --rule hebb --out out/sd_torch_hebb.json
+  python3 scripts/quality_showdown.py jax   --rule hebb --out out/sd_jax_hebb.json
+  python3 scripts/quality_showdown.py report out/sd_*.json   # -> markdown table
+
+The torch run writes <out>.init.pth with the initial weights; pass the same
+--seed to the jax run and it loads that file so both stacks start identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_SRC = "/root/reference/src"
+
+LR, GAMMA, STEPLR = 3e-4, 0.666, 1e4  # tuned config (unet_p_res_script.py:1043-1056)
+NEURONS, NBF, DROPOUT = 8, 101, 0.5
+
+
+def _import_ref(name: str):
+    path = os.path.join(REF_SRC, *name.split(".")) + ".py"
+    spec = importlib.util.spec_from_file_location("sd_ref_" + name.replace(".", "_"), path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def make_data(n_train: int, n_val: int, seed: int):
+    from plastic_unet_tpu.data.synthetic import synthetic_split
+
+    return synthetic_split(n_train, n_val, size=NBF, seed=seed)
+
+
+def ref_score(preds: np.ndarray, y_val: np.ndarray):
+    """Reference score_model_best_iou (eval.py:20-64): 31 logit-space
+    thresholds over sigmoid outputs, scored with the reference's
+    iou_metric_batch."""
+    iou_mod = _import_ref("utils.iou_metric")
+    thresholds = np.linspace(0.3, 0.7, 31)
+    t_logit = np.log(thresholds / (1 - thresholds))  # eval.py:48-50 quirk
+    ious = np.array([iou_mod.iou_metric_batch(y_val, (preds > t).astype(np.float32)) for t in t_logit])
+    best = int(np.argmax(ious))
+    return float(ious[best]), float(t_logit[best]), ious.tolist()
+
+
+def run_torch(args):
+    import torch
+
+    torch.manual_seed(args.seed)
+    torch.set_num_threads(max(os.cpu_count() or 1, 1))
+    ref_res = _import_ref("unet.unet_p_res")
+    x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed)
+
+    net = ref_res.UNetpRes(
+        n_channels=1, n_classes=1, device=torch.device("cpu"),
+        neurons=NEURONS, dropout_ratio=DROPOUT, nbf=NBF, rule=args.rule,
+    )
+    torch.save(net.state_dict(), args.out + ".init.pth")
+
+    opt = torch.optim.Adam(net.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.StepLR(opt, gamma=GAMMA, step_size=int(STEPLR))
+    crit = torch.nn.BCELoss()
+
+    t0 = time.time()
+    losses = []
+    net.train()
+    for epoch in range(args.epochs):
+        hebb = net.initialZeroHebb()
+        for img, mask in zip(x_train, y_train):
+            opt.zero_grad()
+            t_img = torch.from_numpy(img.astype(np.float32)[None])
+            y_t = torch.from_numpy(mask.astype(np.float32))
+            y_pred, hebb = net(t_img, hebb.detach())
+            loss = crit(y_pred.view(-1), y_t.view(-1))
+            losses.append(loss.item())
+            loss.backward()
+            opt.step()
+            sched.step()
+            hebb = hebb.detach()
+        if (epoch + 1) % 10 == 0:
+            print(f"[torch {args.rule}] epoch {epoch + 1}/{args.epochs} "
+                  f"loss={np.mean(losses[-len(x_train):]):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    train_s = time.time() - t0
+
+    # reference eval semantics: zero trace per val sample (eval.py:81-90)
+    net.eval()
+    preds = []
+    with torch.no_grad():
+        for img in x_val:
+            hebb0 = net.initialZeroHebb()
+            y_pred, _ = net(torch.from_numpy(img.astype(np.float32)[None]), hebb0)
+            preds.append(y_pred.squeeze().numpy())
+    best_iou, best_thr, ious = ref_score(np.stack(preds), y_val.squeeze(1))
+    result = {
+        "stack": "torch-reference", "rule": args.rule, "epochs": args.epochs,
+        "train_samples": args.train, "val_samples": args.val, "seed": args.seed,
+        "best_iou": best_iou, "best_threshold": best_thr,
+        "final_loss_mean100": float(np.mean(losses[-100:])),
+        "eta": float(net.eta.item()), "train_seconds": round(train_s, 1),
+        "images_per_sec": round(args.epochs * args.train / train_s, 2),
+        "iou_curve": ious,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "iou_curve"}))
+
+
+def run_jax(args):
+    import jax
+    import jax.numpy as jnp
+
+    from plastic_unet_tpu.models import UNetPRes
+    from plastic_unet_tpu.train.loop import TrainState, create_train_state, make_epoch_fn
+    from plastic_unet_tpu.train.optimizer import adam_step_lr
+    from plastic_unet_tpu.utils import enable_compilation_cache
+    from plastic_unet_tpu.utils.torch_interop import load_pth, state_dict_to_flax_params, unetp_res_name_map
+
+    enable_compilation_cache()
+    x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed)
+
+    model = UNetPRes(n_channels=1, n_classes=1, neurons=NEURONS, dropout_ratio=DROPOUT,
+                     nbf=NBF, rule=args.rule)
+    tx = adam_step_lr(LR, GAMMA, STEPLR)
+    state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), (NBF, NBF, 1))
+    if args.init and os.path.exists(args.init):
+        params = state_dict_to_flax_params(load_pth(args.init), unetp_res_name_map())
+        state = state._replace(params=params, opt_state=tx.init(params))
+        print(f"[jax {args.rule}] initial weights loaded from {args.init}", flush=True)
+
+    # loss_space='probs' = torch BCELoss clamp semantics (exact parity mode)
+    epoch_fn = make_epoch_fn(model, tx, loss_space="probs", donate=False)
+    X = jnp.asarray(np.transpose(x_train.astype(np.float32), (0, 2, 3, 1)))[:, None]
+    Y = jnp.asarray(y_train.astype(np.float32)[:, 0][:, None])  # (S, 1, H, W)
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    t0 = time.time()
+    losses_all = []
+    for epoch in range(args.epochs):
+        state = state._replace(hebb=jnp.zeros_like(state.hebb))
+        state, losses = epoch_fn(state, X, Y, jax.random.fold_in(rng, epoch))
+        losses_all.extend(np.asarray(losses).tolist())
+        if (epoch + 1) % 10 == 0:
+            print(f"[jax {args.rule}] epoch {epoch + 1}/{args.epochs} "
+                  f"loss={np.mean(losses_all[-args.train:]):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    train_s = time.time() - t0
+
+    # reference eval semantics: zero trace per val sample
+    @jax.jit
+    def fwd(params, x):
+        out = model.apply({"params": params}, x, model.initial_zero_hebb(x.shape[0]), train=False)
+        return out.activout
+
+    Xv = jnp.asarray(np.transpose(x_val.astype(np.float32), (0, 2, 3, 1)))
+    preds = np.asarray(fwd(state.params, Xv))
+    best_iou, best_thr, ious = ref_score(preds, y_val.squeeze(1))
+    result = {
+        "stack": "plastic_unet_tpu", "rule": args.rule, "epochs": args.epochs,
+        "train_samples": args.train, "val_samples": args.val, "seed": args.seed,
+        "best_iou": best_iou, "best_threshold": best_thr,
+        "final_loss_mean100": float(np.mean(losses_all[-100:])),
+        "eta": float(np.asarray(state.params["eta"])[0]), "train_seconds": round(train_s, 1),
+        "images_per_sec": round(args.epochs * args.train / train_s, 2),
+        "device": str(jax.devices()[0]),
+        "iou_curve": ious,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "iou_curve"}))
+
+
+def run_report(paths):
+    rows = []
+    for p in paths:
+        with open(p) as f:
+            rows.append(json.load(f))
+    rows.sort(key=lambda r: (r["rule"], r["stack"]))
+    print("| stack | rule | best IoU | best thr (logit) | final loss (100) | eta | imgs/s |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['stack']} | {r['rule']} | {r['best_iou']:.4f} | {r['best_threshold']:.4f} "
+              f"| {r['final_loss_mean100']:.4f} | {r['eta']:.4f} | {r['images_per_sec']} |")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("torch", "jax"):
+        s = sub.add_parser(name)
+        s.add_argument("--rule", choices=["hebb", "oja"], required=True)
+        s.add_argument("--epochs", type=int, default=120)
+        s.add_argument("--train", type=int, default=256)
+        s.add_argument("--val", type=int, default=64)
+        s.add_argument("--seed", type=int, default=77)
+        s.add_argument("--out", required=True)
+        if name == "jax":
+            s.add_argument("--init", default="", help=".pth with initial weights (from the torch run)")
+    r = sub.add_parser("report")
+    r.add_argument("paths", nargs="+")
+    args = ap.parse_args()
+    if args.cmd == "torch":
+        run_torch(args)
+    elif args.cmd == "jax":
+        run_jax(args)
+    else:
+        run_report(args.paths)
+
+
+if __name__ == "__main__":
+    main()

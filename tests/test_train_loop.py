@@ -104,6 +104,41 @@ def test_epoch_fn_carries_trace(rng):
     assert int(new_state.step) == 4
 
 
+def test_fused_adam_matches_unfused(rng):
+    """optax.flatten'd Adam+StepLR (fused=True opt-in; measured-negative on
+    TPU, see optimizer.py) is the same elementwise math on a raveled vector —
+    trajectories must agree to float tolerance (XLA fuses the flat form
+    differently, so last-ULP drift over steps is expected)."""
+    model = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.5, nbf=16)
+    X = jnp.asarray(rng.standard_normal((6, 1, SIZE, SIZE, 1)).astype(np.float32))
+    Y = jnp.asarray((rng.random((6, 1, SIZE, SIZE)) > 0.5).astype(np.float32))
+    results = []
+    for fused in (True, False):
+        tx = adam_step_lr(LR, GAMMA, STEPLR, fused=fused)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), (SIZE, SIZE, 1))
+        s, losses = make_epoch_fn(model, tx, donate=False)(state, X, Y, jax.random.PRNGKey(1))
+        results.append((s, np.asarray(losses)))
+    (s_f, l_f), (s_u, l_u) = results
+    np.testing.assert_allclose(l_f, l_u, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_f.params), jax.tree.leaves(s_u.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_f.hebb), np.asarray(s_u.hebb), atol=1e-5)
+
+
+def test_rbg_rng_epoch_runs(rng):
+    """cfg.rng_impl='rbg': dropout keys from the RBG generator drive the
+    same epoch fn (fewer rng ops per step on TPU; stream differs only)."""
+    model = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.5, nbf=16)
+    tx = adam_step_lr(1e-3, 0.666, 1e6)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), (SIZE, SIZE, 1))
+    X = jnp.asarray(rng.standard_normal((4, 1, SIZE, SIZE, 1)).astype(np.float32))
+    Y = jnp.asarray((rng.random((4, 1, SIZE, SIZE)) > 0.5).astype(np.float32))
+    key = jax.random.key(1, impl="rbg")
+    new_state, losses = make_epoch_fn(model, tx, donate=False)(state, X, Y, key)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert int(new_state.step) == 4
+
+
 def test_lane_mode_shapes(rng):
     """B>1 lane mode: stream reshapes and runs; one step per B samples."""
     model = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=16)

@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hebb-trace coherence across data-parallel devices")
     p.add_argument("--precision", default="perf", help="matmul precision policy: perf|parity|<jax literal>")
     p.add_argument("--use-pallas", action="store_true", default=False, help="fused Pallas plastic head")
+    p.add_argument("--pallas-trunk", action="store_true", default=False,
+                   help="fused Pallas residual tails (B=1 fp32 parity mode)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="trunk compute dtype (head/loss stay fp32)")
     p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
@@ -134,6 +136,7 @@ def main(argv=None):
         loss_space=args.loss_space,
         matmul_precision=args.precision,
         use_pallas=args.use_pallas,
+        pallas_trunk=args.pallas_trunk,
         compute_dtype=args.compute_dtype,
         augment=args.augment,
         shuffle=args.shuffle,

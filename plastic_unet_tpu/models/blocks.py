@@ -219,10 +219,78 @@ class ResidualBlock(nn.Module):
         return y + h
 
 
+class _RawConvParams(nn.Module):
+    """Declares an nn.Conv's parameters (same names, shapes, inits) without
+    building the conv — lets the fused Pallas tail own the compute while the
+    param tree stays byte-identical to the XLA path (checkpoint/torch-interop
+    compatible, and identical init streams since flax derives param RNGs from
+    the path)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(9 * self.in_features), (self.features,))
+        return kernel, bias
+
+
+class _ConvModuleParams(nn.Module):
+    """Param tree of one ConvModule (Conv_0/{kernel,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _RawConvParams(self.features, self.features, name="Conv_0")()
+
+
+class _ResidualBlockParams(nn.Module):
+    """Param tree of one ResidualBlock (ConvModule_0/Conv_0, ConvModule_1/Conv_0)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k1 = _ConvModuleParams(self.features, name="ConvModule_0")()
+        k2 = _ConvModuleParams(self.features, name="ConvModule_1")()
+        return k1, k2
+
+
+def _use_fused_tail(x, features: int) -> bool:
+    """Static per-level gate for the fused Pallas tail (see
+    ops.pallas_trunk.worth_fusing)."""
+    from plastic_unet_tpu.ops.pallas_trunk import worth_fusing
+
+    return worth_fusing(x.shape[-3], x.shape[-2], features)
+
+
+def _fused_tail(parent: nn.Module, x, features: int):
+    """Run the two ResidualBlocks + final ReLU through the fused Pallas
+    kernel (ops.pallas_trunk) at B=1 fp32; declares params under the exact
+    same paths as the unfused ResidualBlock modules."""
+    from plastic_unet_tpu.ops.pallas_trunk import residual_tail_apply
+
+    (w11, b11), (w12, b12) = _ResidualBlockParams(features, name="ResidualBlock_0", parent=parent)()
+    (w21, b21), (w22, b22) = _ResidualBlockParams(features, name="ResidualBlock_1", parent=parent)()
+    p = {"w11": w11, "b11": b11, "w12": w12, "b12": b12,
+         "w21": w21, "b21": b21, "w22": w22, "b22": b22}
+    h, w = x.shape[-3], x.shape[-2]
+    if x.ndim == 4:
+        # per-sample kernel; B=1 is the target (parity mode). vmap covers B>1.
+        if x.shape[0] == 1:
+            return residual_tail_apply(x[0], p, h, w, features)[None]
+        return jax.vmap(lambda xi: residual_tail_apply(xi, p, h, w, features))(x)
+    return residual_tail_apply(x, p, h, w, features)
+
+
 class DownRes(nn.Module):
     """conv3x3 -> 2x residual -> ReLU (reference down, unet_p_res.py:256-272;
     identical structure to middle, unet_p_res.py:223-238). With folded=True
-    the whole level runs in 2x2 space-to-depth space (input/output folded)."""
+    the whole level runs in 2x2 space-to-depth space (input/output folded).
+    fuse_tail=True routes the residual tail through the fused Pallas kernel
+    (B=1 fp32 parity mode; see ops.pallas_trunk)."""
 
     in_features: int
     features: int
@@ -230,6 +298,7 @@ class DownRes(nn.Module):
     dtype: object = None
     folded: bool = False
     mask_pad: tuple = (False, False)
+    fuse_tail: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -237,6 +306,9 @@ class DownRes(nn.Module):
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
             x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+        if (self.fuse_tail and not self.batch_norm and self.dtype is None
+                and not self.folded and _use_fused_tail(x, self.features)):
+            return _fused_tail(self, x, self.features)
         x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
         x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
         return nn.relu(x)
@@ -251,6 +323,7 @@ class Middle(nn.Module):
     dtype: object = None
     folded: bool = False
     mask_pad: tuple = (False, False)
+    fuse_tail: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -258,6 +331,9 @@ class Middle(nn.Module):
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
             x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+        if (self.fuse_tail and not self.batch_norm and self.dtype is None
+                and not self.folded and _use_fused_tail(x, self.features)):
+            return _fused_tail(self, x, self.features)
         x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
         x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
         return nn.relu(x)
@@ -274,6 +350,7 @@ class UpRes(nn.Module):
     dropout_ratio: float
     dtype: object = None
     fold_middle: bool = False  # run the inner middle in space-to-depth space
+    fuse_tail: bool = False  # fused Pallas residual tail (B=1 fp32)
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -301,7 +378,10 @@ class UpRes(nn.Module):
                 folded=True, mask_pad=pad,
             )(z, train)
             return crop_hw(unfold2(z, self.features), h, w)
-        return Middle(self.in_features, self.features, batch_norm=False, dtype=self.dtype)(x, train)
+        return Middle(
+            self.in_features, self.features, batch_norm=False, dtype=self.dtype,
+            fuse_tail=self.fuse_tail,
+        )(x, train)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,7 @@ def build_model(cfg: TrainConfig):
             batch_norm=cfg.batch_norm,
             bilinear_upsample=cfg.bilinear_upsample,
             use_pallas=cfg.use_pallas,
+            pallas_trunk=cfg.pallas_trunk,
             plastic=cfg.plastic,
             compute_dtype=None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype).type,
         )

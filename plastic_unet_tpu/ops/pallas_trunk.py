@@ -79,15 +79,17 @@ def pack_factor(c: int) -> int:
 
 
 def worth_fusing(h: int, w: int, c: int) -> bool:
-    """Per-level gate: the fused tail wins only where XLA's convs are
-    overhead-bound — the big thin-channel levels. Measured on v5e (PERF.md
-    round 2): 101x101x16 fused 81.7 vs XLA 101.4 us (win); 50x50x32 and
-    below: XLA wins. Gate on the pixel count; override the threshold with
+    """Per-level gate: the fused tail wins where XLA's backward (the dw
+    convs especially) is overhead-bound. Measured on v5e with full param
+    grads (PERF.md round 2): 101x101x16 fused 107.9 vs XLA 218.8 us (2x win);
+    12x12x128 18.3 vs 22.8 (win); 50x50x32 and 25x25x64: XLA wins. Gate on
+    pixel count or full-lane channels; override the pixel threshold with
     PLASTIC_UNET_FUSE_MIN_PIXELS (tests set 0 to force fusion at toy sizes)."""
     import os
 
     min_pixels = int(os.environ.get("PLASTIC_UNET_FUSE_MIN_PIXELS", str(90 * 90)))
-    return h * w >= min_pixels
+    wide = os.environ.get("PLASTIC_UNET_FUSE_WIDE", "0") == "1"
+    return h * w >= min_pixels or (wide and c >= 128)
 
 
 def geometry(h: int, w: int, c: int):
@@ -163,31 +165,47 @@ class _Geo:
         self.h, self.w, self.c = h, w, c
         self.p, self.pw, self.rp, self.l = geometry(h, w, c)
 
-    def planes(self):
-        return _coords(self.rp, self.l, self.p, self.c, self.pw)
+    def masks(self):
+        """The 9 source-validity masks, computed ONCE per kernel invocation
+        and reused by every conv in the fused chain."""
+        wq, hq = _coords(self.rp, self.l, self.p, self.c, self.pw)
+        return [
+            (wq + dx >= 0) & (wq + dx < self.w) & (hq + dy >= 0) & (hq + dy < self.h)
+            for dy, dx in _TAPS
+        ]
 
-    def tap_src(self, x, t: int, wq, hq):
-        """Masked shifted view of x for tap t (source-validity mask)."""
-        dy, dx = _TAPS[t]
-        s = dy * self.pw + dx
-        xs = _pshift(x, s, self.p, self.c, self.rp, self.l) if s else x
-        m = (wq + dx >= 0) & (wq + dx < self.w) & (hq + dy >= 0) & (hq + dy < self.h)
-        return jnp.where(m, xs, 0.0)
+    def tap_views(self, x, masks):
+        """9 masked shifted views. The two (expensive, lane-carry) column
+        shifts are hoisted and shared across the three row offsets."""
+        from jax.experimental.pallas import tpu as pltpu
 
-    def conv(self, x, wb_ref, bt, wq, hq):
+        cols = {0: x, -1: _pshift(x, -1, self.p, self.c, self.rp, self.l),
+                1: _pshift(x, 1, self.p, self.c, self.rp, self.l)}
+        rows_per_dy = self.pw // self.p
+        views = []
+        for t, (dy, dx) in enumerate(_TAPS):
+            xs = cols[dx]
+            if dy:
+                xs = pltpu.roll(xs, shift=(-dy * rows_per_dy) % self.rp, axis=0)
+            views.append(jnp.where(masks[t], xs, 0.0))
+        return views
+
+    def conv(self, x, wb_ref, bt, masks):
+        views = self.tap_views(x, masks)
         acc = None
         for t in range(9):
-            d = jnp.dot(self.tap_src(x, t, wq, hq), wb_ref[t], preferred_element_type=jnp.float32)
+            d = jnp.dot(views[t], wb_ref[t], preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
         return acc if bt is None else acc + bt
 
-    def dw(self, x, d, wq, hq):
+    def dw(self, x, d, masks):
         """Per-tap weight grads: (9, L, L) stack of shift_t(x)^T @ d."""
+        views = self.tap_views(x, masks)
         outs = []
         for t in range(9):
             outs.append(
                 jax.lax.dot_general(
-                    self.tap_src(x, t, wq, hq), d, (((0,), (0,)), ((), ())),
+                    views[t], d, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             )
@@ -196,16 +214,16 @@ class _Geo:
 
 def _tail_fwd_kernel(g: _Geo, x0_ref, wb11, bt11, wb12, bt12, wb21, bt21, wb22, bt22,
                      out_ref, pre11_ref, x1_ref, pre21_ref, x2_ref):
-    wq, hq = g.planes()
+    masks = g.masks()
     h1 = jnp.maximum(x0_ref[:], 0.0)
-    pre11 = g.conv(h1, wb11, bt11[0, :], wq, hq)
+    pre11 = g.conv(h1, wb11, bt11[0, :], masks)
     pre11_ref[:] = pre11
-    x1 = g.conv(jnp.maximum(pre11, 0.0), wb12, bt12[0, :], wq, hq) + h1
+    x1 = g.conv(jnp.maximum(pre11, 0.0), wb12, bt12[0, :], masks) + h1
     x1_ref[:] = x1
     h2 = jnp.maximum(x1, 0.0)
-    pre21 = g.conv(h2, wb21, bt21[0, :], wq, hq)
+    pre21 = g.conv(h2, wb21, bt21[0, :], masks)
     pre21_ref[:] = pre21
-    x2 = g.conv(jnp.maximum(pre21, 0.0), wb22, bt22[0, :], wq, hq) + h2
+    x2 = g.conv(jnp.maximum(pre21, 0.0), wb22, bt22[0, :], masks) + h2
     x2_ref[:] = x2
     out_ref[:] = jnp.maximum(x2, 0.0)
 
@@ -213,31 +231,32 @@ def _tail_fwd_kernel(g: _Geo, x0_ref, wb11, bt11, wb12, bt12, wb21, bt21, wb22, 
 def _tail_bwd_kernel(g: _Geo, x0_ref, pre11_ref, x1_ref, pre21_ref, x2_ref,
                      wf11, wf12, wf21, wf22, g_ref,
                      dx0_ref, dwb11, dbt11, dwb12, dbt12, dwb21, dbt21, dwb22, dbt22):
-    wq, hq = g.planes()
+    masks = g.masks()
+    wq, _ = _coords(g.rp, g.l, g.p, g.c, g.pw)
     valid = wq < g.w  # pad columns carry no true gradient
     gg = jnp.where(valid, g_ref[:], 0.0)
     d_x2 = gg * (x2_ref[:] > 0.0)
     # --- residual block 2 (x1 -> x2) ---
     r21 = jnp.maximum(pre21_ref[:], 0.0)
-    dwb22[:] = g.dw(r21, d_x2, wq, hq)
+    dwb22[:] = g.dw(r21, d_x2, masks)
     dbt22[0, :] = jnp.sum(d_x2, axis=0)
-    d_r21 = jnp.where(valid, g.conv(d_x2, wf22, None, wq, hq), 0.0)
+    d_r21 = jnp.where(valid, g.conv(d_x2, wf22, None, masks), 0.0)
     d_pre21 = d_r21 * (pre21_ref[:] > 0.0)
     h2 = jnp.maximum(x1_ref[:], 0.0)
-    dwb21[:] = g.dw(h2, d_pre21, wq, hq)
+    dwb21[:] = g.dw(h2, d_pre21, masks)
     dbt21[0, :] = jnp.sum(d_pre21, axis=0)
-    d_h2 = jnp.where(valid, g.conv(d_pre21, wf21, None, wq, hq), 0.0) + d_x2
+    d_h2 = jnp.where(valid, g.conv(d_pre21, wf21, None, masks), 0.0) + d_x2
     d_x1 = d_h2 * (x1_ref[:] > 0.0)
     # --- residual block 1 (x0 -> x1) ---
     r11 = jnp.maximum(pre11_ref[:], 0.0)
-    dwb12[:] = g.dw(r11, d_x1, wq, hq)
+    dwb12[:] = g.dw(r11, d_x1, masks)
     dbt12[0, :] = jnp.sum(d_x1, axis=0)
-    d_r11 = jnp.where(valid, g.conv(d_x1, wf12, None, wq, hq), 0.0)
+    d_r11 = jnp.where(valid, g.conv(d_x1, wf12, None, masks), 0.0)
     d_pre11 = d_r11 * (pre11_ref[:] > 0.0)
     h1 = jnp.maximum(x0_ref[:], 0.0)
-    dwb11[:] = g.dw(h1, d_pre11, wq, hq)
+    dwb11[:] = g.dw(h1, d_pre11, masks)
     dbt11[0, :] = jnp.sum(d_pre11, axis=0)
-    d_h1 = jnp.where(valid, g.conv(d_pre11, wf11, None, wq, hq), 0.0) + d_x1
+    d_h1 = jnp.where(valid, g.conv(d_pre11, wf11, None, masks), 0.0) + d_x1
     dx0_ref[:] = d_h1 * (x0_ref[:] > 0.0)
 
 

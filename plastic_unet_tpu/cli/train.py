@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-pallas", action="store_true", default=False, help="fused Pallas plastic head")
     p.add_argument("--pallas-trunk", action="store_true", default=False,
                    help="fused Pallas residual tails (B=1 fp32 parity mode)")
+    p.add_argument("--fast-dw", action="store_true", default=False,
+                   help="im2col-matmul dw backward for 3x3 convs (B=1 win)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="trunk compute dtype (head/loss stay fp32)")
     p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
@@ -137,6 +139,7 @@ def main(argv=None):
         matmul_precision=args.precision,
         use_pallas=args.use_pallas,
         pallas_trunk=args.pallas_trunk,
+        fast_dw=args.fast_dw,
         compute_dtype=args.compute_dtype,
         augment=args.augment,
         shuffle=args.shuffle,

@@ -49,6 +49,7 @@ class TrainConfig:
     matmul_precision: str = "perf"  # 'parity' for bit-faithful fp32
     use_pallas: bool = False  # fused Pallas plastic head
     pallas_trunk: bool = False  # fused Pallas residual tails (B=1 fp32; PERF.md)
+    fast_dw: bool = False  # hand-written im2col dw backward for 3x3 convs
     plastic: bool = True  # False = vanilla U-Net head (sigmoid on trunk logits)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native mixed precision (trunk only; head/loss stay fp32)
     augment: bool = False  # random flip/rotate (new capability)

@@ -74,6 +74,31 @@ def conv3(features: int, in_features: int, name: str | None = None, dtype=None) 
     )
 
 
+class FastConv3(nn.Module):
+    """3x3 SAME conv with the hand-written im2col-matmul backward for dw
+    (ops.fast_conv) — a large B=1 win over XLA's filter-gradient conv
+    (PERF.md round 2). Param names/shapes/inits identical to nn.Conv."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from plastic_unet_tpu.ops.fast_conv import conv3_same_fast
+
+        kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(9 * self.in_features), (self.features,))
+        return conv3_same_fast(x, kernel, bias)
+
+
+def conv3_maybe_fast(features: int, in_features: int, fast: bool, dtype=None, name: str | None = None):
+    """FastConv3 when fast and fp32; nn.Conv otherwise. Explicit name keeps
+    the param path at Conv_0 either way."""
+    if fast and dtype is None:
+        return FastConv3(features, in_features, name=name or "Conv_0")
+    return conv3(features, in_features, name=name, dtype=dtype)
+
+
 def conv1(features: int, in_features: int, name: str | None = None, dtype=None) -> nn.Conv:
     """1x1 conv with torch-default init."""
     return nn.Conv(
@@ -171,6 +196,7 @@ class ConvModule(nn.Module):
     dtype: object = None
     folded: bool = False
     mask_pad: tuple = (False, False)
+    fast_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -179,7 +205,7 @@ class ConvModule(nn.Module):
                 raise NotImplementedError("batch_norm is not supported in folded mode")
             x = FoldedConv3(self.features, self.features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
-            x = conv3(self.features, self.features, dtype=self.dtype)(x)
+            x = conv3_maybe_fast(self.features, self.features, self.fast_vjp, dtype=self.dtype)(x)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
         if self.activation:
@@ -201,6 +227,7 @@ class ResidualBlock(nn.Module):
     dtype: object = None
     folded: bool = False
     mask_pad: tuple = (False, False)
+    fast_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -210,11 +237,11 @@ class ResidualBlock(nn.Module):
             y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = ConvModule(
             self.features, batch_norm=self.batch_norm, dtype=self.dtype,
-            folded=self.folded, mask_pad=self.mask_pad,
+            folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp,
         )(y, train)
         y = ConvModule(
             self.features, activation=False, batch_norm=self.batch_norm, dtype=self.dtype,
-            folded=self.folded, mask_pad=self.mask_pad,
+            folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp,
         )(y, train)
         return y + h
 
@@ -299,18 +326,19 @@ class DownRes(nn.Module):
     folded: bool = False
     mask_pad: tuple = (False, False)
     fuse_tail: bool = False
+    fast_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.folded:
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
-            x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+            x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype)(x)
         if (self.fuse_tail and not self.batch_norm and self.dtype is None
                 and not self.folded and _use_fused_tail(x, self.features)):
             return _fused_tail(self, x, self.features)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
         return nn.relu(x)
 
 
@@ -324,18 +352,19 @@ class Middle(nn.Module):
     folded: bool = False
     mask_pad: tuple = (False, False)
     fuse_tail: bool = False
+    fast_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.folded:
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
-            x = conv3(self.features, self.in_features, dtype=self.dtype)(x)
+            x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype)(x)
         if (self.fuse_tail and not self.batch_norm and self.dtype is None
                 and not self.folded and _use_fused_tail(x, self.features)):
             return _fused_tail(self, x, self.features)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
         return nn.relu(x)
 
 
@@ -351,6 +380,7 @@ class UpRes(nn.Module):
     dtype: object = None
     fold_middle: bool = False  # run the inner middle in space-to-depth space
     fuse_tail: bool = False  # fused Pallas residual tail (B=1 fp32)
+    fast_vjp: bool = False  # hand-written dw backward for the 3x3 convs
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -380,7 +410,7 @@ class UpRes(nn.Module):
             return crop_hw(unfold2(z, self.features), h, w)
         return Middle(
             self.in_features, self.features, batch_norm=False, dtype=self.dtype,
-            fuse_tail=self.fuse_tail,
+            fuse_tail=self.fuse_tail, fast_vjp=self.fast_vjp,
         )(x, train)
 
 

@@ -61,6 +61,7 @@ def build_model(cfg: TrainConfig):
             bilinear_upsample=cfg.bilinear_upsample,
             use_pallas=cfg.use_pallas,
             pallas_trunk=cfg.pallas_trunk,
+            fast_dw=cfg.fast_dw,
             plastic=cfg.plastic,
             compute_dtype=None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype).type,
         )

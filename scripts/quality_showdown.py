@@ -138,6 +138,10 @@ def run_jax(args):
     from plastic_unet_tpu.utils.torch_interop import load_pth, state_dict_to_flax_params, unetp_res_name_map
 
     enable_compilation_cache()
+    from plastic_unet_tpu.utils.precision import matmul_precision
+    import contextlib
+    stack = contextlib.ExitStack()
+    stack.enter_context(matmul_precision("parity"))  # true-fp32 matmuls, like torch
     x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed)
 
     model = UNetPRes(n_channels=1, n_classes=1, neurons=NEURONS, dropout_ratio=DROPOUT,

@@ -66,14 +66,19 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     epoch_fn = make_epoch_fn(model, tx, loss_space="logits", donate=False)
     rng = jax.random.PRNGKey(1)
 
-    # XLA's own FLOP count for the whole epoch (for MFU); may be unavailable
-    # through some backends — MFU is then omitted.
+    # XLA's own FLOP count of ONE training step (for MFU). Analyzed on a
+    # standalone-jitted step: cost_analysis of the scanned epoch counts the
+    # while-loop body only once for long loops, so per-epoch analysis would
+    # undercount by the trip count.
     epoch_flops = None
     try:
-        ca = epoch_fn.lower(state, Xl, Yl, rng).compile().cost_analysis()
+        from plastic_unet_tpu.train.loop import make_train_step
+
+        step_fn = jax.jit(make_train_step(model, tx, loss_space="logits"))
+        ca = step_fn.lower(state, (Xl[0], Yl[0]), rng).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        epoch_flops = float(ca["flops"])
+        epoch_flops = float(ca["flops"]) * steps
     except Exception:
         pass
 

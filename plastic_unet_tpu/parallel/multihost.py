@@ -30,6 +30,22 @@ def process_local_slice(n_total: int) -> slice:
     return slice(pi * per, min((pi + 1) * per, n_total))
 
 
+def local_lane_block(X_local: np.ndarray, Y_local: np.ndarray, process_count: int, total_lanes: int):
+    """Pure layout math of the multi-process branch: reshape this process's
+    contiguous sample block into its (S, lanes_local, ...) lane block.
+
+    Consistency contract (pinned by tests/test_parallel.py::
+    test_multihost_lane_blocks_match_global): stacking the per-process
+    blocks along the lane axis reproduces exactly what shard_stream computes
+    on the full stream — lane l carries global samples [l*S, (l+1)*S)."""
+    n_local = X_local.shape[0]
+    s = (n_local * process_count) // total_lanes
+    lanes_local = total_lanes // process_count
+    Xl = X_local[: s * lanes_local].reshape(lanes_local, s, *X_local.shape[1:]).swapaxes(0, 1)
+    Yl = Y_local[: s * lanes_local].reshape(lanes_local, s, *Y_local.shape[1:]).swapaxes(0, 1)
+    return Xl, Yl
+
+
 def stage_global_stream(X_local: np.ndarray, Y_local: np.ndarray, mesh: Mesh, lanes_per_device: int = 1):
     """Assemble the globally-sharded (S, D*L, ...) stream from per-process
     local chunks. With one process this equals parallel.shard_stream."""
@@ -41,12 +57,7 @@ def stage_global_stream(X_local: np.ndarray, Y_local: np.ndarray, mesh: Mesh, la
 
     d = mesh.devices.size
     total_lanes = d * lanes_per_device
-    # local lanes: this process's contiguous lane block
-    n_local = X_local.shape[0]
-    s = (n_local * jax.process_count()) // total_lanes
-    lanes_local = total_lanes // jax.process_count()
-    Xl = X_local[: s * lanes_local].reshape(lanes_local, s, *X_local.shape[1:]).swapaxes(0, 1)
-    Yl = Y_local[: s * lanes_local].reshape(lanes_local, s, *Y_local.shape[1:]).swapaxes(0, 1)
+    Xl, Yl = local_lane_block(X_local, Y_local, jax.process_count(), total_lanes)
     names = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(None, names))
     gx = jax.make_array_from_process_local_data(sharding, Xl)

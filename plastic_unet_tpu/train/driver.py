@@ -130,7 +130,16 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
         from plastic_unet_tpu.parallel.dp import make_shard_shuffle_fn
 
         mesh = make_mesh(cfg.devices)
-        Xl, Yl = shard_stream(X, Y, mesh, lanes_per_device=cfg.lanes)
+        if jax.process_count() > 1:
+            # multi-host: each process stages only its slice of the stream
+            from plastic_unet_tpu.parallel.multihost import process_local_slice, stage_global_stream
+
+            sl = process_local_slice(X.shape[0])
+            Xl, Yl = stage_global_stream(
+                np.asarray(X)[sl], np.asarray(Y)[sl], mesh, lanes_per_device=cfg.lanes
+            )
+        else:
+            Xl, Yl = shard_stream(X, Y, mesh, lanes_per_device=cfg.lanes)
         epoch_fn = make_dp_epoch_fn(model, tx, mesh, loss_space=cfg.loss_space, trace_mode=cfg.trace_mode)
         if cfg.shuffle:
             # shard-local: a global permutation would reshard the full epoch

@@ -173,6 +173,30 @@ def test_driver_dp_shuffle_training(tmp_path):
     assert np.all(np.isfinite(result.all_losses))
 
 
+def test_multihost_lane_blocks_match_global(rng):
+    """The multi-process branch's layout math: per-process local lane blocks,
+    stacked along the lane axis, must equal shard_stream's global assignment
+    (lane l = contiguous global chunk [l*S, (l+1)*S))."""
+    from plastic_unet_tpu.parallel.multihost import local_lane_block
+
+    total_lanes, pc = 8, 2
+    X = rng.standard_normal((32, 4, 4, 1)).astype(np.float32)
+    Y = (rng.random((32, 4, 4)) > 0.5).astype(np.float32)
+    mesh = make_mesh(8)
+    Xg, Yg = shard_stream(jnp.asarray(X), jnp.asarray(Y), mesh, lanes_per_device=1)
+
+    per = -(-X.shape[0] // pc)
+    lanes_local = total_lanes // pc
+    for p in range(pc):
+        Xl, Yl = local_lane_block(X[p * per : (p + 1) * per], Y[p * per : (p + 1) * per], pc, total_lanes)
+        np.testing.assert_array_equal(
+            np.asarray(Xl), np.asarray(Xg[:, p * lanes_local : (p + 1) * lanes_local])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(Yl), np.asarray(Yg[:, p * lanes_local : (p + 1) * lanes_local])
+        )
+
+
 def test_multihost_helpers_single_process(rng):
     from plastic_unet_tpu.parallel import make_mesh, process_local_slice, stage_global_stream
 

@@ -157,7 +157,7 @@ def bench_oja_epoch_with_eval(steps: int):
     return steps / (time.time() - t0)
 
 
-def bench_infer_tta(n_infer: int):
+def bench_infer_tta(n_infer: int, compute_dtype=None):
     import jax.numpy as jnp
 
     import jax
@@ -166,7 +166,7 @@ def bench_infer_tta(n_infer: int):
     from plastic_unet_tpu.models import UNetPRes
     from plastic_unet_tpu.submit.inference import predict_masks_tta
 
-    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16)
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, compute_dtype=compute_dtype)
     x0 = jnp.zeros((1, 101, 101, 1))
     params = model.init(jax.random.PRNGKey(0), x0, model.initial_zero_hebb(1))["params"]
 
@@ -236,6 +236,7 @@ def main():
     except Exception:
         tp256_ips, tp256_mfu = None, None  # e.g. OOM at 256 lanes
     infer_ips = bench_infer_tta(n_infer)
+    infer_bf16_ips = bench_infer_tta(n_infer, compute_dtype=jnp.bfloat16)
     vanilla_ips = bench_vanilla_forward(min(n_infer, 256))
     oja_ips = bench_oja_epoch_with_eval(min(max(steps // 2, 64), 512))
     coord_ips, _, _ = bench_train(lanes=8, steps=32, coord_conv=True)
@@ -258,6 +259,7 @@ def main():
         "train_128lane_bf16_images_per_sec": round(max_tp_ips, 1),
         "train_256lane_bf16_images_per_sec": round(tp256_ips, 1) if tp256_ips else None,
         "infer_tta_images_per_sec": round(infer_ips, 1),
+        "infer_tta_bf16_images_per_sec": round(infer_bf16_ips, 1),
         "vanilla_forward_images_per_sec": round(vanilla_ips, 1),
         "oja_epoch_with_eval_images_per_sec": round(oja_ips, 1),
         "coordconv_plastic_train_images_per_sec": round(coord_ips, 1),

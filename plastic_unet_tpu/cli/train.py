@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas residual tails (B=1 fp32 parity mode)")
     p.add_argument("--fast-dw", action="store_true", default=False,
                    help="im2col-matmul dw backward for 3x3 convs (B=1 win)")
+    p.add_argument("--patch-conv", type=int, default=0, metavar="MAX_C",
+                   help="im2col-FORWARD 3x3 convs for fp32 levels with Cin <= MAX_C "
+                        "(32 = measured B=1 sweet spot; 0 = off)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="trunk compute dtype (head/loss stay fp32)")
     p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
@@ -140,6 +143,7 @@ def main(argv=None):
         use_pallas=args.use_pallas,
         pallas_trunk=args.pallas_trunk,
         fast_dw=args.fast_dw,
+        patch_conv=args.patch_conv,
         compute_dtype=args.compute_dtype,
         augment=args.augment,
         shuffle=args.shuffle,

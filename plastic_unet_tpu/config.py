@@ -50,6 +50,9 @@ class TrainConfig:
     use_pallas: bool = False  # fused Pallas plastic head
     pallas_trunk: bool = False  # fused Pallas residual tails (B=1 fp32; PERF.md)
     fast_dw: bool = False  # hand-written im2col dw backward for 3x3 convs
+    patch_conv: int = 0  # im2col-FORWARD 3x3 convs for fp32 levels with
+    # Cin <= this (0 = off; 32 = the measured B=1 sweet spot, PERF.md).
+    # Same math as the XLA conv, matmul-ordered fp32 accumulation.
     plastic: bool = True  # False = vanilla U-Net head (sigmoid on trunk logits)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native mixed precision (trunk only; head/loss stay fp32)
     augment: bool = False  # random flip/rotate (new capability)

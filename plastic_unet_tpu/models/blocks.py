@@ -91,9 +91,36 @@ class FastConv3(nn.Module):
         return conv3_same_fast(x, kernel, bias)
 
 
-def conv3_maybe_fast(features: int, in_features: int, fast: bool, dtype=None, name: str | None = None):
-    """FastConv3 when fast and fp32; nn.Conv otherwise. Explicit name keeps
-    the param path at Conv_0 either way."""
+class PatchConv3(nn.Module):
+    """3x3 SAME conv as im2col + one matmul in the *forward* (ops.patch_conv)
+    so autodiff emits matmul gradients with no custom-VJP boundary — the B=1
+    backward fix that survives XLA's global fusion (PERF.md round 2). Param
+    names/shapes/inits identical to nn.Conv; levels where the im2col form
+    doesn't win (ops.patch_conv.worth_patching, a static shape gate) fall
+    back to the plain XLA conv at call time."""
+
+    features: int
+    in_features: int
+    max_c: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        from plastic_unet_tpu.ops.patch_conv import conv3_same_patches, worth_patching
+
+        kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(9 * self.in_features), (self.features,))
+        if worth_patching(x.shape[-3], x.shape[-2], self.in_features, self.max_c):
+            return conv3_same_patches(x, kernel, bias)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME", dimension_numbers=dn) + bias
+
+
+def conv3_maybe_fast(features: int, in_features: int, fast: bool, dtype=None, name: str | None = None, patch_max_c: int = 0):
+    """Select the conv implementation; explicit name keeps the param path at
+    Conv_0 either way. patch_max_c > 0: route fp32 levels through PatchConv3
+    (im2col forward where its static shape gate says it wins)."""
+    if patch_max_c > 0 and dtype is None:
+        return PatchConv3(features, in_features, max_c=patch_max_c, name=name or "Conv_0")
     if fast and dtype is None:
         return FastConv3(features, in_features, name=name or "Conv_0")
     return conv3(features, in_features, name=name, dtype=dtype)
@@ -197,6 +224,7 @@ class ConvModule(nn.Module):
     folded: bool = False
     mask_pad: tuple = (False, False)
     fast_vjp: bool = False
+    patch_max_c: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -205,7 +233,7 @@ class ConvModule(nn.Module):
                 raise NotImplementedError("batch_norm is not supported in folded mode")
             x = FoldedConv3(self.features, self.features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
-            x = conv3_maybe_fast(self.features, self.features, self.fast_vjp, dtype=self.dtype)(x)
+            x = conv3_maybe_fast(self.features, self.features, self.fast_vjp, dtype=self.dtype, patch_max_c=self.patch_max_c)(x)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
         if self.activation:
@@ -228,6 +256,7 @@ class ResidualBlock(nn.Module):
     folded: bool = False
     mask_pad: tuple = (False, False)
     fast_vjp: bool = False
+    patch_max_c: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -238,10 +267,12 @@ class ResidualBlock(nn.Module):
         y = ConvModule(
             self.features, batch_norm=self.batch_norm, dtype=self.dtype,
             folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp,
+            patch_max_c=self.patch_max_c,
         )(y, train)
         y = ConvModule(
             self.features, activation=False, batch_norm=self.batch_norm, dtype=self.dtype,
             folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp,
+            patch_max_c=self.patch_max_c,
         )(y, train)
         return y + h
 
@@ -327,18 +358,19 @@ class DownRes(nn.Module):
     mask_pad: tuple = (False, False)
     fuse_tail: bool = False
     fast_vjp: bool = False
+    patch_max_c: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.folded:
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
-            x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype)(x)
+            x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype, patch_max_c=self.patch_max_c)(x)
         if (self.fuse_tail and not self.batch_norm and self.dtype is None
                 and not self.folded and _use_fused_tail(x, self.features)):
             return _fused_tail(self, x, self.features)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
         return nn.relu(x)
 
 
@@ -353,19 +385,40 @@ class Middle(nn.Module):
     mask_pad: tuple = (False, False)
     fuse_tail: bool = False
     fast_vjp: bool = False
+    patch_max_c: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.folded:
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
-            x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype)(x)
+            x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype, patch_max_c=self.patch_max_c)(x)
         if (self.fuse_tail and not self.batch_norm and self.dtype is None
                 and not self.folded and _use_fused_tail(x, self.features)):
             return _fused_tail(self, x, self.features)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
         return nn.relu(x)
+
+
+class PatchConvT3(nn.Module):
+    """ConvTranspose k3/s2/VALID as parity-phase im2col matmuls
+    (ops.patch_conv.convT3_s2_valid_patches) — same B=1 dw fix as PatchConv3,
+    for the decoder's upsampling convs. Param names/shapes/inits identical to
+    nn.ConvTranspose(transpose_kernel=True)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from plastic_unet_tpu.ops.patch_conv import convT3_s2_valid_patches
+
+        kernel = self.param(
+            "kernel", torch_convT_kernel_init, (3, 3, self.features, self.in_features)
+        )
+        bias = self.param("bias", torch_bias_init(9 * self.features), (self.features,))
+        return convT3_s2_valid_patches(x, kernel, bias)
 
 
 class UpRes(nn.Module):
@@ -381,19 +434,30 @@ class UpRes(nn.Module):
     fold_middle: bool = False  # run the inner middle in space-to-depth space
     fuse_tail: bool = False  # fused Pallas residual tail (B=1 fp32)
     fast_vjp: bool = False  # hand-written dw backward for the 3x3 convs
+    patch_max_c: int = 0  # im2col-forward convs for levels with Cin <= this
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        x = nn.ConvTranspose(
-            self.features,
-            (3, 3),
-            strides=(2, 2),
-            padding="VALID",
-            transpose_kernel=True,
-            kernel_init=torch_convT_kernel_init,
-            bias_init=torch_bias_init(9 * self.features),
-            dtype=self.dtype,
-        )(x)
+        use_patch_t = False
+        if self.patch_max_c > 0 and self.dtype is None:
+            from plastic_unet_tpu.ops.patch_conv import worth_patching_convT
+
+            use_patch_t = worth_patching_convT(
+                2 * x.shape[-3] + 1, 2 * x.shape[-2] + 1, x.shape[-1], self.patch_max_c
+            )
+        if use_patch_t:
+            x = PatchConvT3(self.features, x.shape[-1], name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                (3, 3),
+                strides=(2, 2),
+                padding="VALID",
+                transpose_kernel=True,
+                kernel_init=torch_convT_kernel_init,
+                bias_init=torch_bias_init(9 * self.features),
+                dtype=self.dtype,
+            )(x)
         x = pad_to_match(x, skip.shape[-3], skip.shape[-2])
         x = jnp.concatenate([x, skip], axis=-1)
         x = channel_dropout(x, self.dropout_ratio, deterministic=not train)
@@ -410,7 +474,7 @@ class UpRes(nn.Module):
             return crop_hw(unfold2(z, self.features), h, w)
         return Middle(
             self.in_features, self.features, batch_norm=False, dtype=self.dtype,
-            fuse_tail=self.fuse_tail, fast_vjp=self.fast_vjp,
+            fuse_tail=self.fuse_tail, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c,
         )(x, train)
 
 

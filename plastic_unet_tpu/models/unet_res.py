@@ -54,6 +54,7 @@ class UNetPRes(nn.Module):
     fold_hires: bool = False  # space-to-depth the thin-channel high-res levels (PERF.md)
     pallas_trunk: bool = False  # fused Pallas residual tails (B=1 fp32 parity mode; PERF.md)
     fast_dw: bool = False  # hand-written im2col dw backward for 3x3 convs (ops/fast_conv)
+    patch_conv: int = 0  # im2col-FORWARD 3x3 convs for fp32 levels with Cin <= this (ops/patch_conv)
     plastic: bool = True  # False = vanilla U-Net (sigmoid on trunk logits, no head)
     coord_conv: bool = False  # inject CoordConv xx/yy channels at the stem (extension)
 
@@ -107,23 +108,23 @@ class UNetPRes(nn.Module):
             xc2 = crop_hw(unfold2(z2, n * 2), h1, w1)
             x2 = channel_dropout(crop_hw(pool_phases(z2, n * 2), h1 // 2, w1 // 2), self.dropout_ratio, det)
         else:
-            xc1 = DownRes(n_in, n, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(x, train)
+            xc1 = DownRes(n_in, n, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x, train)
             x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
-            xc2 = DownRes(n, n * 2, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(x1, train)
+            xc2 = DownRes(n, n * 2, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x1, train)
             x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
-        xc3 = DownRes(n * 2, n * 4, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(x2, train)
+        xc3 = DownRes(n * 2, n * 4, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x2, train)
         x3 = channel_dropout(max_pool_2x2(xc3), self.dropout_ratio, det)
-        xc4 = DownRes(n * 4, n * 8, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(x3, train)
+        xc4 = DownRes(n * 4, n * 8, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x3, train)
         x4 = channel_dropout(max_pool_2x2(xc4), self.dropout_ratio, det)
 
         # Middle
-        x5 = Middle(n * 8, n * 16, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(x4, train)
+        x5 = Middle(n * 8, n * 16, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x4, train)
 
         # Decoder: 6 -> 12 -> 25 -> 50 -> 101 (fold the two high-res middles)
-        u = UpRes(n * 16, n * 8, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(x5, xc4, train)
-        u = UpRes(n * 8, n * 4, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(u, xc3, train)
-        u = UpRes(n * 4, n * 2, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(u, xc2, train)
-        u = UpRes(n * 2, n * 1, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw)(u, xc1, train)
+        u = UpRes(n * 16, n * 8, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x5, xc4, train)
+        u = UpRes(n * 8, n * 4, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(u, xc3, train)
+        u = UpRes(n * 4, n * 2, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(u, xc2, train)
+        u = UpRes(n * 2, n * 1, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(u, xc1, train)
 
         out = conv1(self.n_classes, n, dtype=dt)(u)  # (B, H, W, n_classes)
         if dt is not None:

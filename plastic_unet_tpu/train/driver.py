@@ -62,6 +62,7 @@ def build_model(cfg: TrainConfig):
             use_pallas=cfg.use_pallas,
             pallas_trunk=cfg.pallas_trunk,
             fast_dw=cfg.fast_dw,
+            patch_conv=cfg.patch_conv,
             plastic=cfg.plastic,
             compute_dtype=None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype).type,
         )

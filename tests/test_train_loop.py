@@ -35,8 +35,15 @@ def test_step_lr_schedule_matches_torch():
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference tree unavailable")
-@pytest.mark.parametrize("rule", ["hebb", "oja"])
-def test_training_trajectory_matches_torch(rule, rng):
+@pytest.mark.parametrize(
+    "rule,patch_conv",
+    [("hebb", 0), ("oja", 0), ("hebb", 32)],
+    ids=["hebb", "oja", "hebb-patch_conv"],
+)
+def test_training_trajectory_matches_torch(rule, patch_conv, rng):
+    # patch_conv=32 is the benched parity configuration (im2col-forward
+    # convs, ops/patch_conv) — same math, matmul-ordered fp32 accumulation;
+    # it must track the torch reference within the same tolerances.
     ref_mod = import_reference_module("unet.unet_p_res")
     ref_net = ref_mod.UNetpRes(
         n_channels=1, n_classes=1, device=torch.device("cpu"),
@@ -68,7 +75,10 @@ def test_training_trajectory_matches_torch(rule, rng):
         hebb = hebb.detach()
 
     # --- my scan loop, same initial weights ---
-    model = UNetPRes(n_channels=1, n_classes=1, neurons=NEURONS, dropout_ratio=0.0, nbf=NBF, rule=rule)
+    model = UNetPRes(
+        n_channels=1, n_classes=1, neurons=NEURONS, dropout_ratio=0.0, nbf=NBF, rule=rule,
+        patch_conv=patch_conv,
+    )
     tx = adam_step_lr(LR, GAMMA, STEPLR)
     state = TrainState(
         params=params0, opt_state=tx.init(params0),

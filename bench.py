@@ -38,8 +38,15 @@ def _sync(x):
 _V5E_PEAK_FLOPS = 197e12
 
 
-def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False):
-    """Returns (imgs_per_sec, compile_seconds, mfu_or_None)."""
+def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False,
+                patch_conv: int = 0):
+    """Returns (imgs_per_sec, compile_seconds, mfu_or_None).
+
+    patch_conv=32 is the measured-best B=1 parity configuration (im2col-
+    forward thin-level convs, ops/patch_conv): same math as the reference
+    step, matmul-ordered fp32 accumulation, torch-trajectory parity tested
+    (tests/test_train_loop.py::test_training_trajectory_matches_torch
+    [hebb-patch_conv])."""
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +56,7 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     from plastic_unet_tpu.train.optimizer import adam_step_lr
 
     model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule=rule,
-                     compute_dtype=compute_dtype, coord_conv=coord_conv)
+                     compute_dtype=compute_dtype, coord_conv=coord_conv, patch_conv=patch_conv)
     tx = adam_step_lr(3e-4, 0.666, 1e5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=lanes)
 
@@ -137,7 +144,7 @@ def bench_oja_epoch_with_eval(steps: int):
     from plastic_unet_tpu.train.loop import create_train_state, make_epoch_fn, reshape_stream
     from plastic_unet_tpu.train.optimizer import adam_step_lr
 
-    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule="oja")
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule="oja", patch_conv=32)
     tx = adam_step_lr(3e-4, 0.666, 1e5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=1)
     imgs, masks = synthetic_tiles(steps, size=101, seed=3)
@@ -227,7 +234,8 @@ def main():
 
     import jax.numpy as jnp
 
-    train_ips, compile_s, train_mfu = bench_train(lanes=1, steps=steps)
+    train_ips, compile_s, train_mfu = bench_train(lanes=1, steps=steps, patch_conv=32)
+    train_plain_ips, _, _ = bench_train(lanes=1, steps=max(steps // 4, 256))
     lane_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32))
     lane_bf16_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32), compute_dtype=jnp.bfloat16)
     max_tp_ips, compile_128_s, max_tp_mfu = bench_train(lanes=128, steps=12, compute_dtype=jnp.bfloat16)
@@ -254,6 +262,7 @@ def main():
         "value": round(train_ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(train_ips / base_train, 1) if base_train else None,
+        "train_parity_plain_xla_images_per_sec": round(train_plain_ips, 1),
         "train_8lane_images_per_sec": round(lane_ips, 1),
         "train_8lane_bf16_images_per_sec": round(lane_bf16_ips, 1),
         "train_128lane_bf16_images_per_sec": round(max_tp_ips, 1),

@@ -76,8 +76,10 @@ def conv3(features: int, in_features: int, name: str | None = None, dtype=None) 
 
 class FastConv3(nn.Module):
     """3x3 SAME conv with the hand-written im2col-matmul backward for dw
-    (ops.fast_conv) — a large B=1 win over XLA's filter-gradient conv
-    (PERF.md round 2). Param names/shapes/inits identical to nn.Conv."""
+    (ops.fast_conv). Wins in isolation but loses in the full B=1 step — the
+    custom-VJP boundary forfeits XLA's global fusion (PERF.md round 2; use
+    PatchConv3 instead, which has no boundary). Kept as a tested opt-in.
+    Param names/shapes/inits identical to nn.Conv."""
 
     features: int
     in_features: int
@@ -105,12 +107,20 @@ class PatchConv3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from plastic_unet_tpu.ops.patch_conv import conv3_same_patches, worth_patching
+        from plastic_unet_tpu.ops.patch_conv import (
+            conv3_same_patches,
+            conv3_same_taps,
+            worth_patching,
+            worth_taps,
+        )
 
         kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, self.in_features, self.features))
         bias = self.param("bias", torch_bias_init(9 * self.in_features), (self.features,))
-        if worth_patching(x.shape[-3], x.shape[-2], self.in_features, self.max_c):
+        h, w = x.shape[-3], x.shape[-2]
+        if worth_patching(h, w, self.in_features, self.max_c):
             return conv3_same_patches(x, kernel, bias)
+        if worth_taps(h, w, self.in_features, self.max_c):
+            return conv3_same_taps(x, kernel, bias)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
         return jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME", dimension_numbers=dn) + bias
 

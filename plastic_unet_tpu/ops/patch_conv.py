@@ -33,6 +33,24 @@ import jax.numpy as jnp
 from plastic_unet_tpu.ops.fast_conv import _patches
 
 
+def conv3_same_taps(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    """3x3 SAME conv as nine shifted (B*H*W, Ci) @ (Ci, Co) matmuls — the
+    wide-channel counterpart of conv3_same_patches. No patches concat (the
+    im2col blowup that makes the patches form lose at low-res wide levels);
+    autodiff emits per-tap dw matmuls (Ci x Co outputs, contraction over
+    B*H*W) instead of XLA's B=1 filter-gradient conv. Same math, matmul
+    accumulation order."""
+    b, h, w, ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            xs = xp[:, dy : dy + h, dx : dx + w, :]
+            t = jax.lax.dot_general(xs, kernel[dy, dx], (((3,), (0,)), ((), ())))
+            y = t if y is None else y + t
+    return y + bias
+
+
 def convT3_s2_valid_patches(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
     """ConvTranspose k3/s2/VALID (torch ConvTranspose2d semantics — the
     reference decoder op, src/unet/unet_p_res.py:203) as four parity-phase
@@ -102,6 +120,17 @@ def convT3_s2_valid_patches(x: jax.Array, kernel: jax.Array, bias: jax.Array) ->
 # measured-best configuration on v5e, PERF.md).
 EXTENDED_GATE = False  # also patch Cin <= 2*max_c convs at >= 40px levels
 PATCH_CONVT = False  # phase-decomposed ConvTranspose in the decoder
+TAP_WIDE = True  # 9-tap matmul form for wide (Cin>=64) convs at >=40px levels
+
+
+def worth_taps(h: int, w: int, cin: int, max_c: int) -> bool:
+    """Gate for conv3_same_taps. The wide levels' dw is the largest remaining
+    B=1 cost (193 us by a freeze probe), but the tap form only wins net where
+    the spatial extent keeps its matmuls big: Cin>=64 at >=40px (the decoder's
+    50-px Cin=64 convs; 992 vs 982 imgs/s). Applying it at the low-res wide
+    levels measured NET-negative (937 imgs/s) — their XLA conv forward is
+    already good and the tap glue costs more than the dw it saves (PERF.md)."""
+    return TAP_WIDE and cin >= 64 and h * w >= 1600
 
 
 def worth_patching(h: int, w: int, cin: int, max_c: int) -> bool:

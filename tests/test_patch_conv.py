@@ -112,3 +112,69 @@ def test_patch_conv_training_trajectory_matches_plain(rng):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), atol=5e-6)
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_tap_conv_op(rng):
+    from plastic_unet_tpu.ops.patch_conv import conv3_same_taps
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(k1, (2, 9, 7, 8))
+    w = jax.random.normal(k2, (3, 3, 8, 16)) * 0.1
+    b = jax.random.normal(k3, (16,)) * 0.1
+    ct = jax.random.normal(k4, (2, 9, 7, 16))
+    got = np.asarray(conv3_same_taps(x, w, b))
+    ref = np.asarray(_ref_conv(x, w, b))
+    np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())
+    g_t = jax.grad(lambda *a: jnp.sum(conv3_same_taps(*a) * ct), argnums=(0, 1, 2))(x, w, b)
+    g_r = jax.grad(lambda *a: jnp.sum(_ref_conv(*a) * ct), argnums=(0, 1, 2))(x, w, b)
+    for name, a, c in zip("xwb", g_r, g_t):
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5 * scale, err_msg=name)
+
+
+def test_convT_patches_op(rng):
+    """Phase-decomposed ConvTranspose (kept as a measured-negative opt-in,
+    PATCH_CONVT) must stay exact vs flax ConvTranspose."""
+    from flax import linen as nn
+
+    from plastic_unet_tpu.ops.patch_conv import convT3_s2_valid_patches
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 5, 4))
+    m = nn.ConvTranspose(3, (3, 3), strides=(2, 2), padding="VALID", transpose_kernel=True)
+    v = m.init(jax.random.PRNGKey(1), x)
+    ref = m.apply(v, x)
+    k, b = v["params"]["kernel"], v["params"]["bias"]
+    got = convT3_s2_valid_patches(x, k, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    ct = jax.random.normal(jax.random.PRNGKey(2), ref.shape)
+    g_r = jax.grad(lambda x, k, b: jnp.sum(m.apply({"params": {"kernel": k, "bias": b}}, x) * ct),
+                   argnums=(0, 1, 2))(x, k, b)
+    g_p = jax.grad(lambda x, k, b: jnp.sum(convT3_s2_valid_patches(x, k, b) * ct),
+                   argnums=(0, 1, 2))(x, k, b)
+    for name, a, c in zip("xkb", g_r, g_p):
+        scale = max(float(jnp.abs(a).max()), 1e-8)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5 * scale, err_msg=name)
+
+
+def test_model_tap_wide_matches_plain(rng, monkeypatch):
+    """Force the tap form onto every non-patched conv level and check the
+    model still matches plain XLA (the production gate only fires at
+    Cin>=64 / >=40px, which these small test shapes never reach)."""
+    from plastic_unet_tpu.ops import patch_conv as pc
+
+    monkeypatch.setattr(pc, "TAP_WIDE", True)
+    monkeypatch.setattr(pc, "worth_taps", lambda h, w, cin, max_c: True)
+    ref = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE)
+    tap = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE, patch_conv=1)
+    x = jnp.asarray(rng.standard_normal((1, SIZE, SIZE, 1)).astype(np.float32))
+    h = ref.initial_zero_hebb(1)
+    p0 = ref.init(jax.random.PRNGKey(0), x, h)["params"]
+    p1 = tap.init(jax.random.PRNGKey(0), x, h)["params"]
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    o0 = ref.apply({"params": p0}, x, h)
+    o1 = tap.apply({"params": p0}, x, h)
+    np.testing.assert_allclose(
+        np.asarray(o1.activ), np.asarray(o0.activ), atol=1e-4 * float(jnp.abs(o0.activ).max())
+    )

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(32 = measured B=1 sweet spot; 0 = off)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="trunk compute dtype (head/loss stay fp32)")
+    p.add_argument("--epochs-per-dispatch", type=int, default=1, metavar="K",
+                   help="fold up to K epochs into one jitted scan (amortizes "
+                        "dispatch overhead for small sweep-sized epochs; "
+                        "1 = reference-exact dispatch cadence)")
     p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
     p.add_argument("--shuffle", action="store_true", default=False,
                    help="per-epoch stream shuffle (shard-local under --devices)")
@@ -145,6 +149,7 @@ def main(argv=None):
         fast_dw=args.fast_dw,
         patch_conv=args.patch_conv,
         compute_dtype=args.compute_dtype,
+        epochs_per_dispatch=args.epochs_per_dispatch,
         augment=args.augment,
         shuffle=args.shuffle,
         plastic=not args.no_plastic,

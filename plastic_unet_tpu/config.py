@@ -63,6 +63,11 @@ class TrainConfig:
     rng_impl: str = "threefry"  # 'rbg' = TPU hardware RNG for dropout masks
     # (fewer ops per step in the launch-bound B=1 mode; same mask
     # distribution, different stream — parity tests keep threefry)
+    epochs_per_dispatch: int = 1  # fold up to K epochs into one jitted scan
+    # (amortizes ~50 ms/dispatch for small sweep-sized epochs; chunks never
+    # cross a validation/save/rollout boundary, and 1 = reference-exact
+    # dispatch cadence. >1 coarsens the wall-clock stop check and NaN
+    # detection to chunk granularity; single-host only.)
     quirk_epoch_loss: bool = True  # reproduce train.py:115 (all_losses[-N] scalar)
     trace_mode: str = "per_device"  # 'per_device' (faithful) | 'pmean' (throughput)
     resume_orbax: str = ""  # path to an orbax TrainState for exact resume

@@ -169,38 +169,82 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
         base_rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
     aug_rng = jax.random.PRNGKey(cfg.seed + 1)
 
+    # Multi-epoch dispatch (PERF.md roadmap #3): fold up to
+    # cfg.epochs_per_dispatch epochs into one jitted scan. Chunks never run
+    # past a validation/save/rollout boundary, so the state seen by eval/
+    # checkpoint code is identical to the per-epoch path; the per-epoch key
+    # derivation order is replicated exactly (tests/test_multi_epoch.py pins
+    # bit-identical losses+params vs epochs_per_dispatch=1).
+    use_chunks = cfg.epochs_per_dispatch > 1 and cfg.devices == 1
+    if use_chunks:
+        from plastic_unet_tpu.train.loop import make_multi_epoch_fn
+
+        multi_epoch_fn = make_multi_epoch_fn(
+            model, tx, loss_space=cfg.loss_space, shuffle=cfg.shuffle, augment=cfg.augment
+        )
+
+    def _chunk_epochs(e: int) -> int:
+        """Epochs to fold starting at e: run exactly up to the next
+        validation/save/rollout boundary or the final epoch."""
+        k = cfg.epochs - e
+        for period in (cfg.val_every, cfg.save_every, cfg.rollout):
+            if period > 0:
+                k = min(k, period - (e % period))
+        return max(1, min(k, cfg.epochs_per_dispatch))
+
     try:
-        for epoch in range(cfg.epochs):
+        epoch = 0
+        while epoch < cfg.epochs:
+            k_epochs = _chunk_epochs(epoch) if use_chunks else 1
             if cfg.debug:
                 print("Starting epoch %d/%d." % (epoch + 1, cfg.epochs))
             epoch_start_time = time.time()
 
-            Xe, Ye = Xl, Yl
-            if cfg.shuffle:
-                base_rng, kperm = jax.random.split(base_rng)
-                if shuffle_fn is not None:
-                    Xe, Ye = shuffle_fn(Xe, Ye, kperm)
-                else:
-                    flatX = Xe.reshape((-1,) + Xe.shape[2:])
-                    flatY = Ye.reshape((-1,) + Ye.shape[2:])
-                    perm = jax.random.permutation(kperm, flatX.shape[0])
-                    Xe = flatX[perm].reshape(Xe.shape)
-                    Ye = flatY[perm].reshape(Ye.shape)
-            if cfg.augment:
-                aug_rng, k = jax.random.split(aug_rng)
-                shp_x, shp_y = Xe.shape, Ye.shape
-                Xa, Ya = augment_stream(k, Xe.reshape((-1,) + Xe.shape[2:]), Ye.reshape((-1,) + Ye.shape[2:]))
-                Xe = Xa.reshape(shp_x)
-                Ye = Ya.reshape(shp_y)
+            if k_epochs == 1:
+                Xe, Ye = Xl, Yl
+                if cfg.shuffle:
+                    base_rng, kperm = jax.random.split(base_rng)
+                    if shuffle_fn is not None:
+                        Xe, Ye = shuffle_fn(Xe, Ye, kperm)
+                    else:
+                        flatX = Xe.reshape((-1,) + Xe.shape[2:])
+                        flatY = Ye.reshape((-1,) + Ye.shape[2:])
+                        perm = jax.random.permutation(kperm, flatX.shape[0])
+                        Xe = flatX[perm].reshape(Xe.shape)
+                        Ye = flatY[perm].reshape(Ye.shape)
+                if cfg.augment:
+                    aug_rng, k = jax.random.split(aug_rng)
+                    shp_x, shp_y = Xe.shape, Ye.shape
+                    Xa, Ya = augment_stream(k, Xe.reshape((-1,) + Xe.shape[2:]), Ye.reshape((-1,) + Ye.shape[2:]))
+                    Xe = Xa.reshape(shp_x)
+                    Ye = Ya.reshape(shp_y)
 
-            # fresh trace per epoch (train.py:88); scan the whole stream
-            state = state._replace(hebb=jnp.zeros_like(state.hebb))
-            state, losses = epoch_fn(state, Xe, Ye, jax.random.fold_in(base_rng, epoch))
-            losses = np.asarray(losses, dtype=np.float64)
-            all_losses.extend(losses.tolist())
+                # fresh trace per epoch (train.py:88); scan the whole stream
+                state = state._replace(hebb=jnp.zeros_like(state.hebb))
+                state, losses = epoch_fn(state, Xe, Ye, jax.random.fold_in(base_rng, epoch))
+                losses_rows = np.asarray(losses, dtype=np.float64)[None]
+            else:
+                # precompute the K per-epoch keys in the exact order the
+                # k_epochs=1 path derives them (split-then-fold per epoch)
+                erngs, pkeys, akeys = [], [], []
+                for j in range(k_epochs):
+                    kperm = base_rng
+                    if cfg.shuffle:
+                        base_rng, kperm = jax.random.split(base_rng)
+                    kaug = aug_rng
+                    if cfg.augment:
+                        aug_rng, kaug = jax.random.split(aug_rng)
+                    erngs.append(jax.random.fold_in(base_rng, epoch + j))
+                    pkeys.append(kperm)
+                    akeys.append(kaug)
+                state, losses = multi_epoch_fn(
+                    state, Xl, Yl, jnp.stack(erngs), jnp.stack(pkeys), jnp.stack(akeys)
+                )
+                losses_rows = np.asarray(losses, dtype=np.float64)
 
-            if not np.all(np.isfinite(losses)):
+            if not np.all(np.isfinite(losses_rows)):
                 # failure detection (new capability): save state before dying
+                all_losses.extend(losses_rows.reshape(-1).tolist())
                 save_reference_artifacts(
                     os.path.join(cfg.out_dir, "NAN_ABORT"),
                     state.params, cfg.as_run_params(stop_time),
@@ -211,14 +255,17 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                     f"non-finite training loss at epoch {epoch}; state saved to NAN_ABORT_*"
                 )
 
-            if cfg.quirk_epoch_loss:
-                # train.py:115 quirk: indexes ONE element (missing ':')
-                epoch_loss = float(np.mean(all_losses[-samples_count]))
-            else:
-                epoch_loss = float(np.mean(all_losses[-samples_count:]))
-            loss_between_saves += epoch_loss
+            epoch_time = (time.time() - epoch_start_time) / k_epochs
+            for row in losses_rows:
+                all_losses.extend(row.tolist())
+                if cfg.quirk_epoch_loss:
+                    # train.py:115 quirk: indexes ONE element (missing ':')
+                    epoch_loss = float(np.mean(all_losses[-samples_count]))
+                else:
+                    epoch_loss = float(np.mean(all_losses[-samples_count:]))
+                loss_between_saves += epoch_loss
 
-            epoch_time = time.time() - epoch_start_time
+            epoch += k_epochs - 1  # bookkeeping below sees the chunk's last epoch
             next_epoch_finish_time = epoch_time + time.time()
             terminate_training = (
                 stop_time > 0 and next_epoch_finish_time >= stop_time
@@ -288,6 +335,7 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                         % (stop_time, next_epoch_finish_time)
                     )
                 break
+            epoch += 1
     except KeyboardInterrupt:
         save_reference_artifacts(
             os.path.join(cfg.out_dir, "INTERRUPTED"),

@@ -106,6 +106,62 @@ def make_epoch_fn(model, tx: optax.GradientTransformation, *, loss_space: str = 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_epoch_fn(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    loss_space: str = "logits",
+    shuffle: bool = False,
+    augment: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Fold K epochs into ONE dispatch (PERF.md roadmap #3): an outer
+    `lax.scan` over epochs whose body re-zeroes the trace (train.py:88),
+    optionally shuffles/augments the stream on device, and runs the inner
+    per-sample scan. Amortizes the ~50 ms per-dispatch overhead that
+    dominates small (sweep-sized) epochs; at the real 3.2k-sample epoch the
+    overhead is <1% and the default epochs_per_dispatch=1 path is identical.
+
+    Signature: (state, X, Y, epoch_rngs, perm_keys, aug_keys)
+                 -> (state, losses (K, S))
+      X: (S, B, H, W, C); epoch_rngs/perm_keys/aug_keys: (K,) PRNG keys —
+      the caller precomputes them in the exact key-derivation order of the
+      one-epoch driver path, so the K-epoch dispatch is bit-identical to K
+      single-epoch dispatches (pinned by tests/test_multi_epoch.py).
+    """
+    step_fn = make_train_step(model, tx, loss_space=loss_space)
+
+    def run(state: TrainState, X, Y, epoch_rngs, perm_keys, aug_keys):
+        def epoch_body(st, per_epoch):
+            erng, pkey, akey = per_epoch
+            Xe, Ye = X, Y
+            if shuffle:
+                flat_x = Xe.reshape((-1,) + Xe.shape[2:])
+                flat_y = Ye.reshape((-1,) + Ye.shape[2:])
+                perm = jax.random.permutation(pkey, flat_x.shape[0])
+                Xe = flat_x[perm].reshape(X.shape)
+                Ye = flat_y[perm].reshape(Y.shape)
+            if augment:
+                from plastic_unet_tpu.ops.augment import augment_stream
+
+                Xa, Ya = augment_stream(
+                    akey, Xe.reshape((-1,) + Xe.shape[2:]), Ye.reshape((-1,) + Ye.shape[2:])
+                )
+                Xe = Xa.reshape(X.shape)
+                Ye = Ya.reshape(Y.shape)
+            st = st._replace(hebb=jnp.zeros_like(st.hebb))
+
+            def body(carry, batch):
+                new_state, loss = step_fn(carry, batch, erng)
+                return new_state, loss
+
+            return jax.lax.scan(body, st, (Xe, Ye))
+
+        return jax.lax.scan(epoch_body, state, (epoch_rngs, perm_keys, aug_keys))
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
 def reshape_stream(X, Y, lanes: int):
     """Split a sample stream (N, ...) into (S, B, ...) lanes for the scan.
     Trailing remainder samples are dropped in lane mode (B>1); B=1 keeps all.

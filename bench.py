@@ -122,8 +122,8 @@ def bench_vanilla_forward(n_infer: int):
         def chunk(x):
             out = model.apply({"params": params}, x, model.initial_zero_hebb(x.shape[0]), train=False)
             return out.activout
-        nc = Xt.shape[0] // 64
-        preds = jax.lax.map(chunk, Xt.reshape(nc, 64, 101, 101, 1))
+        nc = Xt.shape[0] // 128
+        preds = jax.lax.map(chunk, Xt.reshape(nc, 128, 101, 101, 1))
         return jnp.sum(preds > 0.5)
 
     _sync(run(Xt))
@@ -184,7 +184,7 @@ def bench_infer_tta(n_infer: int, compute_dtype=None):
     def run(Xt):
         # full TTA inference + thresholding on device; scalar checksum so the
         # timing measures compute, not the bench relay's host readback
-        preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=64)
+        preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=128)
         return jnp.sum(preds > 0.5)
 
     _sync(run(Xt))
@@ -230,7 +230,9 @@ def main():
     # Headline at the real TGS epoch scale (3,200 train samples/epoch) so
     # per-dispatch/readback overhead is amortized the way a real run would be.
     steps = int(os.environ.get("BENCH_TRAIN_STEPS", 3200))
-    n_infer = int(os.environ.get("BENCH_INFER_SAMPLES", 512))
+    # 4096: steady-state serving scale (the TGS test set is 18k tiles) — at
+    # 512 the ~30 ms relay readback was ~half the measured time.
+    n_infer = int(os.environ.get("BENCH_INFER_SAMPLES", 4096))
 
     import jax.numpy as jnp
 

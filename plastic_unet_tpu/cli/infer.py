@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the validation threshold search and use this value")
     p.add_argument("--precision", default="perf")
     p.add_argument("--use-pallas", action="store_true", default=False)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard inference batches over a data mesh of this many devices")
     return p
 
 
@@ -79,6 +81,11 @@ def main(argv=None):
         use_pallas=args.use_pallas,
     )
     tta = tuple(args.tta.split(","))
+    mesh = None
+    if args.devices > 1:
+        from plastic_unet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
 
     with matmul_precision(args.precision):
         model = build_model(cfg)
@@ -95,13 +102,14 @@ def main(argv=None):
                 "subm_file": "submission.csv",
                 "debug": True,
             }
-            predict(model, params, test_df, run_params, visualize=args.visualize, save_masks=args.save, tta=tta)
+            predict(model, params, test_df, run_params, visualize=args.visualize, save_masks=args.save, tta=tta, mesh=mesh)
         else:
             start_inference(
                 model, params, test_df, x_valid, y_valid,
                 out_dir=args.out_dir,
                 img_width=t_img_width, img_height=t_img_height, img_chan=t_img_chan,
                 visualize=args.visualize, save_masks=args.save, tta=tta, debug=True,
+                mesh=mesh,
             )
 
 

@@ -45,15 +45,33 @@ def _forward_all(model, params, Xc):
     return jax.lax.map(lambda x: _forward_chunk(model, params, x), Xc)
 
 
-def predict_masks(model, params, X, *, chunk: int = 64) -> jax.Array:
+def predict_masks(model, params, X, *, chunk: int = 128, mesh=None) -> jax.Array:
     """Predict sigmoid masks for X (N, H, W, C) with zero traces, chunked to
-    bound device memory. Returns (N, nbf, nbf) on device."""
+    bound device memory. Returns (N, nbf, nbf) on device.
+
+    mesh: optional 1-D ('data',) `jax.sharding.Mesh` — shards each chunk's
+    batch axis across devices (zero-trace inference is embarrassingly
+    parallel, so this is pure batch partitioning: no collectives in the
+    forward, results identical to single-device). chunk must divide evenly
+    by mesh.size."""
     X = jnp.asarray(X)
     n = X.shape[0]
     pad = (-n) % chunk
     if pad:
         X = jnp.concatenate([X, jnp.zeros((pad,) + X.shape[1:], X.dtype)], axis=0)
     nc = X.shape[0] // chunk
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if chunk % mesh.size:
+            raise ValueError(f"chunk ({chunk}) must be divisible by mesh size ({mesh.size})")
+        Xc = jax.device_put(
+            X.reshape(nc, chunk, *X.shape[1:]),
+            NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0])),
+        )
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+        out = _forward_all(model, params, Xc)
+        return out.reshape(nc * chunk, *out.shape[2:])[:n]
     if nc <= 1:
         return _forward_chunk(model, params, X)[:n]
     out = _forward_all(model, params, X.reshape(nc, chunk, *X.shape[1:]))
@@ -72,7 +90,7 @@ def _eval_metrics(model, params, x, y):
     return losses, accs
 
 
-def eval_net(model, params, X_val, y_val, *, chunk: int = 64, debug: bool = False):
+def eval_net(model, params, X_val, y_val, *, chunk: int = 128, debug: bool = False):
     """Validation pass. Returns (accuracy, loss) like reference eval_net.
 
     Accuracy is the reference's flattened fast_iou_metric (eval.py:100),
@@ -102,7 +120,7 @@ def threshold_grid() -> np.ndarray:
     return np.log(t / (1 - t))
 
 
-def score_model_best_iou(model, params, X_valid, y_valid, *, chunk: int = 64, debug: bool = False):
+def score_model_best_iou(model, params, X_valid, y_valid, *, chunk: int = 128, debug: bool = False):
     """Best-threshold search on validation. Returns (threshold_best, iou_best)."""
     preds = predict_masks(model, params, X_valid, chunk=chunk)
     thresholds = jnp.asarray(threshold_grid(), dtype=preds.dtype)

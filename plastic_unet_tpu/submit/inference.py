@@ -41,16 +41,18 @@ def inference(model, params, img_data: np.ndarray) -> np.ndarray:
     return np.asarray(pred[0])
 
 
-def predict_masks_tta(model, params, X, *, transforms: Sequence[str] = ("identity",), chunk: int = 64):
+def predict_masks_tta(model, params, X, *, transforms: Sequence[str] = ("identity",), chunk: int = 128, mesh=None):
     """Chunked zero-trace prediction with TTA merge. X: (N, H, W, C) NHWC.
-    Returns (N, nbf, nbf) mean-of-views sigmoid masks."""
+    Returns (N, nbf, nbf) mean-of-views sigmoid masks. mesh: optional data
+    mesh — shards each chunk's batch axis across devices (see
+    eval.predict_masks)."""
     if tuple(transforms) == ("identity",):
-        return predict_masks(model, params, X, chunk=chunk)
+        return predict_masks(model, params, X, chunk=chunk, mesh=mesh)
     X = jnp.asarray(X)
     views = []
     for t in transforms:
         fwd, _ = TTA_TRANSFORMS[t]
-        views.append(predict_masks(model, params, fwd(X, True), chunk=chunk))
+        views.append(predict_masks(model, params, fwd(X, True), chunk=chunk, mesh=mesh))
     stacked = jnp.stack(views, axis=0)  # (T, N, nbf, nbf)
     return tta_merge(stacked, transforms, channels_last=False)
 
@@ -63,7 +65,8 @@ def predict(
     visualize: bool = False,
     save_masks: bool = False,
     tta: Sequence[str] = ("identity",),
-    chunk: int = 64,
+    chunk: int = 128,
+    mesh=None,
 ):
     """Predict all test masks and write the RLE submission CSV.
 
@@ -80,7 +83,7 @@ def predict(
     )
     mask_threshold = run_params["mask_threshold"]
 
-    preds = np.asarray(predict_masks_tta(model, params, X_test, transforms=tta, chunk=chunk))
+    preds = np.asarray(predict_masks_tta(model, params, X_test, transforms=tta, chunk=chunk, mesh=mesh))
 
     if visualize:
         from plastic_unet_tpu.viz.plots import plot_image_mask
@@ -128,6 +131,7 @@ def start_inference(
     save_masks: bool = False,
     tta: Sequence[str] = ("identity",),
     debug: bool = False,
+    mesh=None,
 ):
     """Best-threshold search on validation, then full test prediction
     (reference start_inference, infer.py:110-179). X_valid arrives NCHW
@@ -147,4 +151,4 @@ def start_inference(
         "debug": debug,
     }
     os.makedirs(out_dir, exist_ok=True)
-    return predict(model, params, test_df, run_params, visualize=visualize, save_masks=save_masks, tta=tta)
+    return predict(model, params, test_df, run_params, visualize=visualize, save_masks=save_masks, tta=tta, mesh=mesh)

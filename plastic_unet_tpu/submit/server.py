@@ -25,7 +25,7 @@ class MaskPredictor:
         model,
         params,
         *,
-        chunk: int = 64,
+        chunk: int = 128,
         tta: Sequence[str] = ("identity",),
         threshold: float | None = None,
     ):

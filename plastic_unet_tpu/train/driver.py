@@ -353,6 +353,33 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     return TrainResult(state, all_losses, val_train_losses, val_test_losses, val_accuracies, model)
 
 
+class _sigterm_as_interrupt:
+    """Route SIGTERM through the KeyboardInterrupt save path (extension: the
+    reference only traps ^C, train.py:306-312 — cloud schedulers preempt
+    with SIGTERM, which would otherwise lose the run). No-op when not on the
+    main thread (signal.signal raises ValueError there)."""
+
+    def __enter__(self):
+        import signal
+
+        def raise_interrupt(signum, frame):
+            raise KeyboardInterrupt
+
+        self._prev = None
+        try:
+            self._prev = signal.signal(signal.SIGTERM, raise_interrupt)
+        except ValueError:
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 def start_train(x_train, x_valid, y_train, y_valid, cfg: TrainConfig) -> TrainResult:
     """Create/initialize (or resume) the model and run training
     (reference start_train, train.py:213-314)."""
@@ -390,4 +417,5 @@ def start_train(x_train, x_valid, y_train, y_valid, cfg: TrainConfig) -> TrainRe
             state = state._replace(params=params, opt_state=tx.init(params))
             print("Model loaded from %s" % cfg.model_path)
 
-        return train(model, state, x_train, x_valid, y_train, y_valid, cfg, stop_time=stop_time)
+        with _sigterm_as_interrupt():
+            return train(model, state, x_train, x_valid, y_train, y_valid, cfg, stop_time=stop_time)

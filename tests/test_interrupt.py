@@ -39,6 +39,38 @@ def test_interrupt_saves_state(tmp_path, monkeypatch):
     assert os.path.exists(prefix + "_net.pth")
 
 
+def test_sigterm_saves_state(tmp_path, monkeypatch):
+    """SIGTERM (cloud preemption) must route through the same INTERRUPTED
+    save path (driver._sigterm_as_interrupt, an extension over the
+    reference's ^C-only handling)."""
+    import signal
+
+    x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=SIZE, seed=4)
+    cfg = TrainConfig(
+        out_dir=str(tmp_path / "out"), epochs=5, val_every=1, save_every=100,
+        im_width=SIZE, im_height=SIZE, neurons=2, matmul_precision="parity",
+    )
+
+    calls = {"n": 0}
+    real_eval = driver.eval_net
+
+    def preempting_eval(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            os.kill(os.getpid(), signal.SIGTERM)  # delivered at next bytecode
+        return real_eval(*a, **kw)
+
+    monkeypatch.setattr(driver, "eval_net", preempting_eval)
+    with pytest.raises(KeyboardInterrupt):
+        driver.start_train(x_train, x_valid, y_train, y_valid, cfg)
+
+    prefix = os.path.join(cfg.out_dir, "INTERRUPTED")
+    assert os.path.exists(prefix + "_data.hdf5")
+    assert os.path.exists(prefix + "_net.pth")
+    # the handler must be uninstalled on exit (default action restored)
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.default_int_handler)
+
+
 def test_nan_abort_saves_state(tmp_path, monkeypatch):
     """Non-finite loss -> FloatingPointError with NAN_ABORT_* artifacts."""
     x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=SIZE, seed=4)

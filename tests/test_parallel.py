@@ -226,3 +226,29 @@ def test_driver_multi_device_training(tmp_path):
     assert result.state.hebb.shape[0] == 4
     import os
     assert os.path.exists(os.path.join(cfg.out_dir, "train_data.hdf5"))
+
+
+def test_sharded_inference_matches_single_device(rng):
+    """predict_masks(mesh=...) shards each chunk's batch axis over the data
+    mesh — pure batch partitioning, results must equal single-device."""
+    from plastic_unet_tpu.eval.evaluate import predict_masks
+    from plastic_unet_tpu.submit.inference import predict_masks_tta
+
+    model = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE)
+    x0 = jnp.zeros((1, SIZE, SIZE, 1))
+    params = model.init(jax.random.PRNGKey(0), x0, model.initial_zero_hebb(1))["params"]
+    X = rng.standard_normal((20, SIZE, SIZE, 1)).astype(np.float32)
+
+    mesh = make_mesh(4)
+    single = np.asarray(predict_masks(model, params, X, chunk=8))
+    sharded = np.asarray(predict_masks(model, params, X, chunk=8, mesh=mesh))
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+    t_single = np.asarray(predict_masks_tta(model, params, X, transforms=("identity", "hflip"), chunk=8))
+    t_sharded = np.asarray(
+        predict_masks_tta(model, params, X, transforms=("identity", "hflip"), chunk=8, mesh=mesh)
+    )
+    np.testing.assert_allclose(t_sharded, t_single, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        predict_masks(model, params, X, chunk=6, mesh=mesh)

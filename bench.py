@@ -187,10 +187,26 @@ def bench_infer_tta(n_infer: int, compute_dtype=None):
         preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=128)
         return jnp.sum(preds > 0.5)
 
+    # XLA's FLOP count of one 128-image forward chunk, for serving MFU
+    # (2 TTA views => 2 chunk-forwards per 128 images).
+    chunk_flops = None
+    try:
+        from plastic_unet_tpu.eval.evaluate import _forward_chunk
+
+        xc = jnp.zeros((128, 101, 101, 1))
+        ca = jax.jit(lambda p, x: _forward_chunk(model, p, x)).lower(params, xc).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        chunk_flops = float(ca["flops"])
+    except Exception:
+        pass
+
     _sync(run(Xt))
     t0 = time.time()
     _sync(run(Xt))
-    return n_infer / (time.time() - t0)
+    dt = time.time() - t0
+    mfu = (chunk_flops * 2 * (n_infer / 128) / dt / _V5E_PEAK_FLOPS) if chunk_flops else None
+    return n_infer / dt, mfu
 
 
 def _watchdog(seconds: int):
@@ -218,7 +234,11 @@ def _watchdog(seconds: int):
 
 
 def main():
-    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", 1200)))
+    # 3600: the relay backend's server-side executable compile/load for the
+    # big epoch graphs was measured at 230-570 s per graph depending on
+    # session (PERF.md compile-cache section) — a 1200 s watchdog could fire
+    # on a slow-but-healthy session. The watchdog guards hangs, not slowness.
+    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", 3600)))
 
     import jax
 
@@ -245,8 +265,8 @@ def main():
         tp256_ips, _, tp256_mfu = bench_train(lanes=256, steps=8, compute_dtype=jnp.bfloat16)
     except Exception:
         tp256_ips, tp256_mfu = None, None  # e.g. OOM at 256 lanes
-    infer_ips = bench_infer_tta(n_infer)
-    infer_bf16_ips = bench_infer_tta(n_infer, compute_dtype=jnp.bfloat16)
+    infer_ips, infer_mfu = bench_infer_tta(n_infer)
+    infer_bf16_ips, infer_bf16_mfu = bench_infer_tta(n_infer, compute_dtype=jnp.bfloat16)
     vanilla_ips = bench_vanilla_forward(min(n_infer, 256))
     oja_ips = bench_oja_epoch_with_eval(min(max(steps // 2, 64), 512))
     coord_ips, _, _ = bench_train(lanes=8, steps=32, coord_conv=True)
@@ -275,6 +295,8 @@ def main():
         "oja_epoch_with_eval_images_per_sec": round(oja_ips, 1),
         "coordconv_plastic_train_images_per_sec": round(coord_ips, 1),
         "infer_vs_baseline": round(infer_ips / baseline["infer_images_per_sec"], 1) if baseline else None,
+        "mfu_infer_tta": round(infer_mfu, 4) if infer_mfu else None,
+        "mfu_infer_tta_bf16": round(infer_bf16_mfu, 4) if infer_bf16_mfu else None,
         "mfu_parity_mode": round(train_mfu, 4) if train_mfu else None,
         "mfu_128lane_bf16": round(max_tp_mfu, 4) if max_tp_mfu else None,
         "mfu_256lane_bf16": round(tp256_mfu, 4) if tp256_mfu else None,

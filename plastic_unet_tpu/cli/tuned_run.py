@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="truncate to 100 train tiles (unet_p_res_script.py:1061-1079 debug mode)")
     p.add_argument("--synthetic", default=0, type=int, metavar="N", help="use N synthetic tiles")
     p.add_argument("--lanes", default=1, type=int)
+    p.add_argument("--epochs-per-dispatch", type=int, default=None, metavar="K",
+                   help="fold up to K epochs per jitted scan (default: "
+                        "val_every when --short-run — the sweep-sized-epoch "
+                        "case it targets — else 1; bit-identical either way)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--tta", default="identity", help="comma-separated TTA views for inference")
     p.add_argument("--debug", action="store_true", default=True)
@@ -79,6 +83,11 @@ def main(argv=None):
         debug=args.debug,
         lanes=args.lanes,
         compute_dtype=args.compute_dtype,
+        epochs_per_dispatch=(
+            args.epochs_per_dispatch
+            if args.epochs_per_dispatch is not None
+            else (args.validate_every if args.short_run else 1)
+        ),
     )
     result = start_train(x_train, x_valid, y_train, y_valid, cfg)
 

@@ -74,3 +74,22 @@ def test_tuned_run_cli_synthetic(tmp_path):
     sub = pd.read_csv(subm, keep_default_na=False)
     assert list(sub.columns) == ["id", "rle_mask"]
     assert os.path.exists(out / "train_net.pth")
+
+
+def test_tuned_run_cli_multi_epoch_dispatch(tmp_path):
+    """tuned_run with --epochs-per-dispatch (the sweep/short-run knob) must
+    produce the same artifact set end-to-end."""
+    import os
+
+    import pandas as pd
+
+    from plastic_unet_tpu.cli.tuned_run import main
+
+    out = tmp_path / "tuned_k"
+    subm = main(
+        f"--synthetic 12 --epochs 2 --validate_every 2 --save_every 2 "
+        f"--epochs-per-dispatch 4 --neurons 2 --max-train-time -1 --out {out}".split()
+    )
+    sub = pd.read_csv(subm, keep_default_na=False)
+    assert list(sub.columns) == ["id", "rle_mask"]
+    assert os.path.exists(out / "train_net.pth")

@@ -90,6 +90,20 @@ def name_map_for(cfg: TrainConfig):
     return m
 
 
+def chunk_epochs(e: int, total_epochs: int, max_chunk: int, periods) -> int:
+    """Multi-epoch-dispatch chunk size starting at epoch e (0-based): fold as
+    many epochs as max_chunk allows, but never run PAST an epoch where a
+    periodic event fires (validation/save/rollout trigger when
+    (epoch+1) % period == 0, train.py:131/153/174) — the chunk's last epoch
+    may BE the event epoch, so eval/checkpoint code sees the same state as
+    the per-epoch path."""
+    k = total_epochs - e
+    for period in periods:
+        if period > 0:
+            k = min(k, period - (e % period))
+    return max(1, min(k, max_chunk))
+
+
 class TrainResult:
     def __init__(self, state, all_losses, val_train_losses, val_test_losses, val_accuracies, model):
         self.state = state
@@ -184,13 +198,9 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
         )
 
     def _chunk_epochs(e: int) -> int:
-        """Epochs to fold starting at e: run exactly up to the next
-        validation/save/rollout boundary or the final epoch."""
-        k = cfg.epochs - e
-        for period in (cfg.val_every, cfg.save_every, cfg.rollout):
-            if period > 0:
-                k = min(k, period - (e % period))
-        return max(1, min(k, cfg.epochs_per_dispatch))
+        return chunk_epochs(
+            e, cfg.epochs, cfg.epochs_per_dispatch, (cfg.val_every, cfg.save_every, cfg.rollout)
+        )
 
     try:
         epoch = 0

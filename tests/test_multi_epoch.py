@@ -61,3 +61,30 @@ def test_chunks_respect_boundaries(tmp_path):
     import os
 
     assert os.path.exists(str(tmp_path / "bnd" / "train_data.hdf5"))
+
+
+def test_chunk_epochs_boundary_math():
+    """chunk_epochs never runs past a periodic event and partitions the
+    epoch range exactly."""
+    from plastic_unet_tpu.train.driver import chunk_epochs
+
+    # val_every=2, save_every=4: boundaries at epochs 1,3,5,7 (events when
+    # (e+1) % period == 0); K=8 folds up to each boundary inclusive.
+    periods = (2, 4, 50000)
+    seen = []
+    e = 0
+    while e < 10:
+        k = chunk_epochs(e, 10, 8, periods)
+        last = e + k - 1
+        assert (last + 1) % 2 == 0 or last == 9  # ends on a boundary or final
+        seen.append((e, k))
+        e += k
+    assert sum(k for _, k in seen) == 10
+
+    # K=1 degenerates to per-epoch regardless of periods
+    assert all(chunk_epochs(e, 10, 1, periods) == 1 for e in range(10))
+    # a chunk starting ON an event epoch has size 1
+    assert chunk_epochs(1, 10, 8, (2, 100, 100)) == 1
+    # no periods: bounded by remaining epochs and K
+    assert chunk_epochs(7, 10, 8, (0, 0, 0)) == 3
+    assert chunk_epochs(0, 100, 8, (0, 0, 0)) == 8

@@ -38,6 +38,31 @@ def _sync(x):
 _V5E_PEAK_FLOPS = 197e12
 
 
+class _CacheProbe:
+    """Answers 'did the headline graph come from the persistent XLA cache?'
+    (VERDICT r02 weak #2: BENCH must carry machine-readable evidence so a
+    slow compile_seconds is attributable to the relay session, not the code.)
+    A compile that MISSES the local cache writes a new entry file; a HIT
+    writes nothing — so snapshot the cache dir around the first dispatch."""
+
+    def __init__(self):
+        import jax
+
+        self.dir = jax.config.jax_compilation_cache_dir
+        self.before = self._entries()
+
+    def _entries(self):
+        try:
+            return set(os.listdir(self.dir)) if self.dir else set()
+        except OSError:
+            return set()
+
+    def hit(self) -> bool | None:
+        if not self.dir:
+            return None
+        return not (self._entries() - self.before)
+
+
 def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False,
                 patch_conv: int = 0):
     """Returns (imgs_per_sec, compile_seconds, mfu_or_None).
@@ -114,6 +139,10 @@ def bench_vanilla_forward(n_infer: int):
     model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, plastic=False)
     x0 = jnp.zeros((1, 101, 101, 1))
     params = model.init(jax.random.PRNGKey(0), x0, model.initial_zero_hebb(1))["params"]
+    # floor to a multiple of the chunk size (BENCH_INFER_SAMPLES need not
+    # divide 128; predict_masks pads instead, but here an exact count keeps
+    # the imgs/s denominator honest)
+    n_infer = max(128, (n_infer // 128) * 128)
     timgs, _ = synthetic_tiles(n_infer, size=101, seed=2)
     Xt = jnp.asarray(np.transpose(timgs, (0, 2, 3, 1)))
 
@@ -164,7 +193,8 @@ def bench_oja_epoch_with_eval(steps: int):
     return steps / (time.time() - t0)
 
 
-def bench_infer_tta(n_infer: int, compute_dtype=None):
+def bench_infer_tta(n_infer: int, compute_dtype=None, transforms=("identity", "hflip"),
+                    batch_views: bool = False):
     import jax.numpy as jnp
 
     import jax
@@ -184,11 +214,12 @@ def bench_infer_tta(n_infer: int, compute_dtype=None):
     def run(Xt):
         # full TTA inference + thresholding on device; scalar checksum so the
         # timing measures compute, not the bench relay's host readback
-        preds = predict_masks_tta(model, params, Xt, transforms=("identity", "hflip"), chunk=128)
+        preds = predict_masks_tta(model, params, Xt, transforms=transforms, chunk=128,
+                                  batch_views=batch_views)
         return jnp.sum(preds > 0.5)
 
     # XLA's FLOP count of one 128-image forward chunk, for serving MFU
-    # (2 TTA views => 2 chunk-forwards per 128 images).
+    # (T TTA views => T chunk-forwards per 128 images).
     chunk_flops = None
     try:
         from plastic_unet_tpu.eval.evaluate import _forward_chunk
@@ -205,8 +236,63 @@ def bench_infer_tta(n_infer: int, compute_dtype=None):
     t0 = time.time()
     _sync(run(Xt))
     dt = time.time() - t0
-    mfu = (chunk_flops * 2 * (n_infer / 128) / dt / _V5E_PEAK_FLOPS) if chunk_flops else None
+    nv = len(transforms)
+    mfu = (chunk_flops * nv * (n_infer / 128) / dt / _V5E_PEAK_FLOPS) if chunk_flops else None
     return n_infer / dt, mfu
+
+
+def bench_e2e_tuned_run(train_samples: int, epochs: int, n_test: int):
+    """BASELINE.json config #5 as ONE measured number (VERDICT r02 item 4):
+    the tuned_run-shaped pipeline — augmented+shuffled training through the
+    real driver (checkpoints included), best-threshold search on validation,
+    4-view TTA inference, RLE submission CSV — timed end-to-end on the warm
+    second pass. Reference anchor: unet_p_res_script.py:1036-1135.
+
+    Returns (images_per_sec, seconds) where the image count is every image
+    processed: epochs*train_samples train steps + n_test TTA-inferred tiles.
+    """
+    import contextlib
+    import io
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from plastic_unet_tpu.config import TrainConfig
+    from plastic_unet_tpu.data.synthetic import synthetic_split, synthetic_tiles
+    from plastic_unet_tpu.submit.inference import start_inference
+    from plastic_unet_tpu.train.driver import start_train
+
+    n_val = max(train_samples // 8, 16)
+    x_train, x_valid, y_train, y_valid = synthetic_split(train_samples, n_val, size=101, seed=21)
+    timgs, _ = synthetic_tiles(n_test, size=101, seed=22)
+    test_df = pd.DataFrame(index=[f"bench{i}" for i in range(n_test)])
+    test_df["images"] = [t[0] for t in timgs]
+
+    def run_once():
+        out_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+        try:
+            cfg = TrainConfig(
+                out_dir=out_dir, epochs=epochs, lr=3e-4, steplr=1e4, prule="hebb",
+                neurons=8, im_width=101, im_height=101, im_chan=1,
+                val_every=max(epochs, 1), save_every=max(epochs, 1),
+                augment=True, shuffle=True, patch_conv=32, debug=False,
+            )
+            with contextlib.redirect_stdout(io.StringIO()):
+                result = start_train(x_train, x_valid, y_train, y_valid, cfg)
+                start_inference(
+                    result.model, result.state.params, test_df, x_valid, y_valid,
+                    out_dir=out_dir, img_width=101, img_height=101, img_chan=1,
+                    tta=("identity", "hflip", "vflip", "rot180"),
+                )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    run_once()  # compile/warm every stage
+    t0 = time.time()
+    run_once()
+    dt = time.time() - t0
+    return (epochs * train_samples + n_test) / dt, dt
 
 
 def _watchdog(seconds: int):
@@ -256,7 +342,9 @@ def main():
 
     import jax.numpy as jnp
 
+    cache_probe = _CacheProbe()
     train_ips, compile_s, train_mfu = bench_train(lanes=1, steps=steps, patch_conv=32)
+    headline_cache_hit = cache_probe.hit()
     train_plain_ips, _, _ = bench_train(lanes=1, steps=max(steps // 4, 256))
     lane_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32))
     lane_bf16_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32), compute_dtype=jnp.bfloat16)
@@ -267,9 +355,22 @@ def main():
         tp256_ips, tp256_mfu = None, None  # e.g. OOM at 256 lanes
     infer_ips, infer_mfu = bench_infer_tta(n_infer)
     infer_bf16_ips, infer_bf16_mfu = bench_infer_tta(n_infer, compute_dtype=jnp.bfloat16)
+    # full dihedral group (8 views) — VERDICT r02 item 5's serving point
+    from plastic_unet_tpu.ops.augment import TTA_VIEWS_8
+
+    infer_tta8_ips, infer_tta8_mfu = bench_infer_tta(n_infer, compute_dtype=jnp.bfloat16,
+                                                     transforms=TTA_VIEWS_8)
     vanilla_ips = bench_vanilla_forward(min(n_infer, 256))
     oja_ips = bench_oja_epoch_with_eval(min(max(steps // 2, 64), 512))
     coord_ips, _, _ = bench_train(lanes=8, steps=32, coord_conv=True)
+    try:
+        e2e_ips, e2e_secs = bench_e2e_tuned_run(
+            train_samples=int(os.environ.get("BENCH_E2E_TRAIN_SAMPLES", 512)),
+            epochs=int(os.environ.get("BENCH_E2E_EPOCHS", 2)),
+            n_test=int(os.environ.get("BENCH_E2E_TEST_SAMPLES", 1024)),
+        )
+    except Exception:
+        e2e_ips, e2e_secs = None, None
 
     baseline = None
     try:
@@ -291,18 +392,32 @@ def main():
         "train_256lane_bf16_images_per_sec": round(tp256_ips, 1) if tp256_ips else None,
         "infer_tta_images_per_sec": round(infer_ips, 1),
         "infer_tta_bf16_images_per_sec": round(infer_bf16_ips, 1),
+        "infer_tta8_bf16_images_per_sec": round(infer_tta8_ips, 1),
+        "e2e_tuned_run_images_per_sec": round(e2e_ips, 1) if e2e_ips else None,
+        "e2e_tuned_run_seconds": round(e2e_secs, 1) if e2e_secs else None,
         "vanilla_forward_images_per_sec": round(vanilla_ips, 1),
         "oja_epoch_with_eval_images_per_sec": round(oja_ips, 1),
         "coordconv_plastic_train_images_per_sec": round(coord_ips, 1),
         "infer_vs_baseline": round(infer_ips / baseline["infer_images_per_sec"], 1) if baseline else None,
         "mfu_infer_tta": round(infer_mfu, 4) if infer_mfu else None,
         "mfu_infer_tta_bf16": round(infer_bf16_mfu, 4) if infer_bf16_mfu else None,
+        "mfu_infer_tta8_bf16": round(infer_tta8_mfu, 4) if infer_tta8_mfu else None,
         "mfu_parity_mode": round(train_mfu, 4) if train_mfu else None,
         "mfu_128lane_bf16": round(max_tp_mfu, 4) if max_tp_mfu else None,
         "mfu_256lane_bf16": round(tp256_mfu, 4) if tp256_mfu else None,
         "mfu_peak_ref_tflops": 197,
         "compile_seconds": round(compile_s, 1),
         "compile_seconds_128lane": round(compile_128_s, 1),
+        # True when the headline graphs came from the persistent local XLA
+        # cache (no new cache entries written) — compile_seconds is then the
+        # relay backend's server-side executable load, a property of the
+        # relay session, not of this code (PERF.md compile-cache section:
+        # a verified local-cache HIT has measured 5-570 s across sessions).
+        "compile_cache_hit": headline_cache_hit,
+        "relay_session_note": (
+            "first-call latency through the axon relay includes server-side "
+            "executable load that the local XLA cache cannot skip; see PERF.md"
+        ),
         "device": str(dev),
         "baseline_source": baseline.get("hardware") if baseline else "none",
     }

@@ -27,11 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arch", default="unet_res", choices=["unet_res", "unet"])
     p.add_argument("--neurons", default=16, type=int)
     p.add_argument("--prule", default="hebb")
-    p.add_argument("--tta", default="identity", help="comma-separated TTA views: identity,hflip,vflip,rot180")
+    p.add_argument("--tta", default="identity",
+                   help="TTA views: preset tta2/tta4/tta8 (full dihedral group) or a comma list of "
+                        "identity,hflip,vflip,rot90,rot180,rot270,transpose,anti_transpose")
     p.add_argument("--fixed-threshold", dest="fixed_threshold", type=float, default=None,
                    help="skip the validation threshold search and use this value")
     p.add_argument("--precision", default="perf")
     p.add_argument("--use-pallas", action="store_true", default=False)
+    p.add_argument("--trunk-pad", type=int, default=0, metavar="SIZE",
+                   help="MXU-aligned padded trunk (must match how the model was trained)")
     p.add_argument("--devices", type=int, default=1,
                    help="shard inference batches over a data mesh of this many devices")
     return p
@@ -78,9 +82,11 @@ def main(argv=None):
     cfg = TrainConfig(
         arch=args.arch, neurons=args.neurons, prule=args.prule,
         im_width=t_img_width, im_height=t_img_height, im_chan=t_img_chan,
-        use_pallas=args.use_pallas,
+        use_pallas=args.use_pallas, trunk_pad=args.trunk_pad,
     )
-    tta = tuple(args.tta.split(","))
+    from plastic_unet_tpu.ops.augment import parse_tta
+
+    tta = parse_tta(args.tta)
     mesh = None
     if args.devices > 1:
         from plastic_unet_tpu.parallel import make_mesh

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch-conv", type=int, default=0, metavar="MAX_C",
                    help="im2col-FORWARD 3x3 convs for fp32 levels with Cin <= MAX_C "
                         "(32 = measured B=1 sweet spot; 0 = off)")
+    p.add_argument("--trunk-pad", type=int, default=0, metavar="SIZE",
+                   help="pad inputs to SIZExSIZE (e.g. 128) so the trunk runs on "
+                        "MXU-aligned power-of-two tracks, cropping back to nbf "
+                        "before the head (geometry extension; 0 = off)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="trunk compute dtype (head/loss stay fp32)")
     p.add_argument("--epochs-per-dispatch", type=int, default=1, metavar="K",
@@ -148,6 +152,7 @@ def main(argv=None):
         pallas_trunk=args.pallas_trunk,
         fast_dw=args.fast_dw,
         patch_conv=args.patch_conv,
+        trunk_pad=args.trunk_pad,
         compute_dtype=args.compute_dtype,
         epochs_per_dispatch=args.epochs_per_dispatch,
         augment=args.augment,

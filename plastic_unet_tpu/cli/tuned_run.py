@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "val_every when --short-run — the sweep-sized-epoch "
                         "case it targets — else 1; bit-identical either way)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
-    p.add_argument("--tta", default="identity", help="comma-separated TTA views for inference")
+    p.add_argument("--tta", default="identity",
+                   help="TTA views for inference: preset tta2/tta4/tta8 or a comma list (see cli.infer)")
     p.add_argument("--debug", action="store_true", default=True)
     return p
 
@@ -64,6 +65,7 @@ def main(argv=None):
         test_df = load_test_dataset(args.data_dir, w, h, 1, partial=args.short_run, part_size=100)
 
     from plastic_unet_tpu.config import TrainConfig
+    from plastic_unet_tpu.ops.augment import parse_tta
     from plastic_unet_tpu.submit.inference import start_inference
     from plastic_unet_tpu.train.driver import start_train
 
@@ -101,7 +103,7 @@ def main(argv=None):
         img_width=w,
         img_height=h,
         img_chan=1,
-        tta=tuple(args.tta.split(",")),
+        tta=parse_tta(args.tta),
     )
 
 

@@ -53,6 +53,11 @@ class TrainConfig:
     patch_conv: int = 0  # im2col-FORWARD 3x3 convs for fp32 levels with
     # Cin <= this (0 = off; 32 = the measured B=1 sweet spot, PERF.md).
     # Same math as the XLA conv, matmul-ordered fp32 accumulation.
+    trunk_pad: int = 0  # MXU-aligned padded trunk: pad inputs spatially to
+    # this size (128 = the aligned target for 101-px tiles) so every level
+    # runs on power-of-two tracks, cropping back to nbf before the head.
+    # Geometry/throughput EXTENSION (changes receptive fields + FLOPs, not
+    # parity); quality validated by the showdown protocol. 0 = off.
     plastic: bool = True  # False = vanilla U-Net head (sigmoid on trunk logits)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native mixed precision (trunk only; head/loss stay fp32)
     augment: bool = False  # random flip/rotate (new capability)

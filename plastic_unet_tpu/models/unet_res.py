@@ -57,6 +57,14 @@ class UNetPRes(nn.Module):
     patch_conv: int = 0  # im2col-FORWARD 3x3 convs for fp32 levels with Cin <= this (ops/patch_conv)
     plastic: bool = True  # False = vanilla U-Net (sigmoid on trunk logits, no head)
     coord_conv: bool = False  # inject CoordConv xx/yy channels at the stem (extension)
+    trunk_pad: int = 0  # MXU-aligned padded trunk (VERDICT r02 item 2): pad the
+    # input spatially to (trunk_pad, trunk_pad) — e.g. 101 -> 128 — so every
+    # level runs on power-of-two tracks (128/64/32/16/8 instead of the
+    # tile-hostile 101/50/25/12/6), then center-crop the trunk logits back to
+    # (nbf, nbf) for the plastic head. A documented throughput/geometry
+    # EXTENSION, not parity: receptive fields and FLOPs change ((128/101)^2 =
+    # 1.6x more conv work), so quality must be validated by the
+    # PARITY_QUALITY showdown protocol. 0 = off (reference geometry).
 
     def initial_zero_hebb(self, batch: int = 1, dtype=jnp.float32) -> jax.Array:
         """Batched zero trace (reference initialZeroHebb, unet_p_res.py:136)."""
@@ -75,6 +83,19 @@ class UNetPRes(nn.Module):
             alpha = self.param("alpha", lambda k, s: 0.01 * jax.random.uniform(k, s), (self.nbf, self.nbf))
             eta = self.param("eta", lambda k, s: 0.01 * jnp.ones(s), (1,))
             pparams = plasticity.PlasticParams(w=w, alpha=alpha, eta=eta)
+
+        pad_crop = 0
+        if self.trunk_pad:
+            h0, w0 = x.shape[-3], x.shape[-2]
+            if h0 > self.trunk_pad or w0 > self.trunk_pad:
+                raise ValueError(
+                    f"trunk_pad={self.trunk_pad} smaller than input {h0}x{w0}"
+                )
+            if h0 < self.trunk_pad:
+                from plastic_unet_tpu.ops.augment import pad_to
+
+                x = pad_to(x, self.trunk_pad, mode="reflect")
+                pad_crop = h0
 
         n_in = self.n_channels
         if self.coord_conv:
@@ -129,6 +150,10 @@ class UNetPRes(nn.Module):
         out = conv1(self.n_classes, n, dtype=dt)(u)  # (B, H, W, n_classes)
         if dt is not None:
             out = out.astype(jnp.float32)  # plastic head + loss stay fp32
+        if pad_crop:
+            from plastic_unet_tpu.ops.augment import crop_from
+
+            out = crop_from(out, pad_crop)  # back to the (nbf, nbf) head geometry
 
         b = out.shape[0]
         if out.size != b * self.nbf * self.nbf:

@@ -38,13 +38,53 @@ def rot90k(x: jax.Array, k: int, channels_last: bool = True) -> jax.Array:
     return jnp.rot90(x, k=k, axes=(h_ax, w_ax))
 
 
+def transpose_hw(x: jax.Array, channels_last: bool = True) -> jax.Array:
+    """Reflection over the main diagonal: out[i, j] = in[j, i] (square tiles).
+    Self-inverse."""
+    h_ax, w_ax = _spatial_axes(x, channels_last)
+    return jnp.swapaxes(x, h_ax, w_ax)
+
+
+def anti_transpose_hw(x: jax.Array, channels_last: bool = True) -> jax.Array:
+    """Reflection over the anti-diagonal: out[i, j] = in[n-1-j, n-1-i].
+    Self-inverse (= rot180 of the transpose)."""
+    return rot90k(transpose_hw(x, channels_last), 2, channels_last)
+
+
 # TTA transform registry: name -> (forward on image, inverse on mask).
+# The full dihedral group D4 (8 views): 4 rotations + 4 reflections. The
+# rotations' inverses rotate the other way; the reflections are self-inverse.
+# Note the two transposes swap H/W, which is only shape-preserving on square
+# tiles — exactly the TGS 101x101 geometry.
 TTA_TRANSFORMS = {
     "identity": (lambda x, cl=True: x, lambda m, cl=True: m),
     "hflip": (flip_h, flip_h),
     "vflip": (flip_v, flip_v),
+    "rot90": (lambda x, cl=True: rot90k(x, 1, cl), lambda m, cl=True: rot90k(m, 3, cl)),
     "rot180": (lambda x, cl=True: rot90k(x, 2, cl), lambda m, cl=True: rot90k(m, 2, cl)),
+    "rot270": (lambda x, cl=True: rot90k(x, 3, cl), lambda m, cl=True: rot90k(m, 1, cl)),
+    "transpose": (transpose_hw, transpose_hw),
+    "anti_transpose": (anti_transpose_hw, anti_transpose_hw),
 }
+
+# Canonical view sets (used by CLI/serving --tta presets).
+TTA_VIEWS_2 = ("identity", "hflip")
+TTA_VIEWS_4 = ("identity", "hflip", "vflip", "rot180")
+TTA_VIEWS_8 = tuple(TTA_TRANSFORMS)  # the full dihedral group
+
+
+def parse_tta(spec: str) -> tuple[str, ...]:
+    """Parse a --tta CLI spec: a preset ('tta2'/'tta4'/'tta8'/'all') or a
+    comma-separated list of view names from TTA_TRANSFORMS."""
+    presets = {"tta2": TTA_VIEWS_2, "tta4": TTA_VIEWS_4, "tta8": TTA_VIEWS_8, "all": TTA_VIEWS_8}
+    s = spec.strip().lower()
+    if s in presets:
+        return presets[s]
+    views = tuple(v.strip() for v in s.split(",") if v.strip())
+    unknown = [v for v in views if v not in TTA_TRANSFORMS]
+    if unknown:
+        raise ValueError(f"unknown TTA view(s) {unknown}; valid: {sorted(TTA_TRANSFORMS)} or presets {sorted(presets)}")
+    return views
 
 
 def tta_expand(x: jax.Array, transforms: Sequence[str] = ("identity", "hflip"), channels_last: bool = True) -> jax.Array:

@@ -92,16 +92,19 @@ def main(argv=None):
     p.add_argument("--prule", default="hebb")
     p.add_argument("--tta", default="identity")
     p.add_argument("--threshold", type=float, default=None)
-    p.add_argument("--chunk", default=64, type=int)
+    # 128 is the measured serving sweet spot (PERF.md serving section);
+    # matches MaskPredictor's default.
+    p.add_argument("--chunk", default=128, type=int)
     args = p.parse_args(argv)
 
+    from plastic_unet_tpu.ops.augment import parse_tta
     from plastic_unet_tpu.submit.server import MaskPredictor
     from plastic_unet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     predictor = MaskPredictor.from_pth(
         args.model, nbf=args.nbf, neurons=args.neurons, rule=args.prule,
-        tta=tuple(args.tta.split(",")), threshold=args.threshold, chunk=args.chunk,
+        tta=parse_tta(args.tta), threshold=args.threshold, chunk=args.chunk,
     )
     serve(predictor, args.host, args.port)
 

@@ -41,14 +41,35 @@ def inference(model, params, img_data: np.ndarray) -> np.ndarray:
     return np.asarray(pred[0])
 
 
-def predict_masks_tta(model, params, X, *, transforms: Sequence[str] = ("identity",), chunk: int = 128, mesh=None):
+def predict_masks_tta(
+    model,
+    params,
+    X,
+    *,
+    transforms: Sequence[str] = ("identity",),
+    chunk: int = 128,
+    mesh=None,
+    batch_views: bool = False,
+):
     """Chunked zero-trace prediction with TTA merge. X: (N, H, W, C) NHWC.
     Returns (N, nbf, nbf) mean-of-views sigmoid masks. mesh: optional data
     mesh — shards each chunk's batch axis across devices (see
-    eval.predict_masks)."""
+    eval.predict_masks).
+
+    batch_views=True folds the T views into the batch axis of ONE chunked
+    pass (T*N samples) instead of T sequential full passes. Per-sample math
+    is batch-position-independent in eval mode (no dropout, no cross-batch
+    reductions), so the result is exactly equal to the sequential path
+    (tests/test_augment.py::test_batched_views_tta_exact)."""
     if tuple(transforms) == ("identity",):
         return predict_masks(model, params, X, chunk=chunk, mesh=mesh)
     X = jnp.asarray(X)
+    if batch_views:
+        n = X.shape[0]
+        allv = jnp.concatenate([TTA_TRANSFORMS[t][0](X, True) for t in transforms], axis=0)
+        preds = predict_masks(model, params, allv, chunk=chunk, mesh=mesh)
+        stacked = preds.reshape((len(transforms), n) + preds.shape[1:])
+        return tta_merge(stacked, transforms, channels_last=False)
     views = []
     for t in transforms:
         fwd, _ = TTA_TRANSFORMS[t]

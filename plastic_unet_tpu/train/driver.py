@@ -63,6 +63,7 @@ def build_model(cfg: TrainConfig):
             pallas_trunk=cfg.pallas_trunk,
             fast_dw=cfg.fast_dw,
             patch_conv=cfg.patch_conv,
+            trunk_pad=cfg.trunk_pad,
             plastic=cfg.plastic,
             compute_dtype=None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype).type,
         )
@@ -190,6 +191,16 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     # derivation order is replicated exactly (tests/test_multi_epoch.py pins
     # bit-identical losses+params vs epochs_per_dispatch=1).
     use_chunks = cfg.epochs_per_dispatch > 1 and cfg.devices == 1
+    if cfg.epochs_per_dispatch > 1 and cfg.devices > 1:
+        import warnings
+
+        warnings.warn(
+            "epochs_per_dispatch>1 is single-host only and is ignored when "
+            "devices>1 (the DP epoch fn dispatches one epoch at a time); "
+            "running with epochs_per_dispatch=1 semantics.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if use_chunks:
         from plastic_unet_tpu.train.loop import make_multi_epoch_fn
 
@@ -253,8 +264,12 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                 losses_rows = np.asarray(losses, dtype=np.float64)
 
             if not np.all(np.isfinite(losses_rows)):
-                # failure detection (new capability): save state before dying
-                all_losses.extend(losses_rows.reshape(-1).tolist())
+                # failure detection (new capability): save state before dying.
+                # Truncate at the first non-finite epoch row so the NAN_ABORT
+                # artifact matches what the per-epoch path would have written
+                # (later chunk epochs never "happened" from the loop's view).
+                bad_row = int(np.argmax(~np.isfinite(losses_rows).all(axis=1)))
+                all_losses.extend(losses_rows[: bad_row + 1].reshape(-1).tolist())
                 save_reference_artifacts(
                     os.path.join(cfg.out_dir, "NAN_ABORT"),
                     state.params, cfg.as_run_params(stop_time),
@@ -262,7 +277,9 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                     name_map=name_map_for(cfg),
                 )
                 raise FloatingPointError(
-                    f"non-finite training loss at epoch {epoch}; state saved to NAN_ABORT_*"
+                    f"non-finite training loss at epoch {epoch + bad_row} "
+                    f"(dispatch chunk starting at epoch {epoch}, row {bad_row}); "
+                    "state saved to NAN_ABORT_*"
                 )
 
             epoch_time = (time.time() - epoch_start_time) / k_epochs
@@ -276,7 +293,12 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
                 loss_between_saves += epoch_loss
 
             epoch += k_epochs - 1  # bookkeeping below sees the chunk's last epoch
-            next_epoch_finish_time = epoch_time + time.time()
+            # Predictive stop (train.py:118-122): estimate when the NEXT
+            # dispatch would finish. With chunking the next dispatch spans a
+            # whole chunk, so scale the per-epoch average by its length —
+            # otherwise stop_time can be overshot by up to K-1 epochs.
+            next_k = _chunk_epochs(epoch + 1) if (use_chunks and epoch + 1 < cfg.epochs) else 1
+            next_epoch_finish_time = epoch_time * next_k + time.time()
             terminate_training = (
                 stop_time > 0 and next_epoch_finish_time >= stop_time
             ) or (epoch + 1) == cfg.epochs

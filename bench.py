@@ -346,6 +346,11 @@ def main():
     train_ips, compile_s, train_mfu = bench_train(lanes=1, steps=steps, patch_conv=32)
     headline_cache_hit = cache_probe.hit()
     train_plain_ips, _, _ = bench_train(lanes=1, steps=max(steps // 4, 256))
+    # B=1 throughput mode: bf16 trunk + im2col-forward convs (round 3 — the
+    # measured-best single-stream configuration; fp32 patch_conv=32 above
+    # remains the reference-precision headline)
+    train_b1_bf16_ips, _, _ = bench_train(lanes=1, steps=max(steps // 2, 256),
+                                          compute_dtype=jnp.bfloat16, patch_conv=32)
     lane_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32))
     lane_bf16_ips, _, _ = bench_train(lanes=8, steps=max(steps // 32, 32), compute_dtype=jnp.bfloat16)
     max_tp_ips, compile_128_s, max_tp_mfu = bench_train(lanes=128, steps=12, compute_dtype=jnp.bfloat16)
@@ -386,6 +391,7 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(train_ips / base_train, 1) if base_train else None,
         "train_parity_plain_xla_images_per_sec": round(train_plain_ips, 1),
+        "train_b1_bf16_patch_images_per_sec": round(train_b1_bf16_ips, 1),
         "train_8lane_images_per_sec": round(lane_ips, 1),
         "train_8lane_bf16_images_per_sec": round(lane_bf16_ips, 1),
         "train_128lane_bf16_images_per_sec": round(max_tp_ips, 1),

@@ -99,11 +99,14 @@ class PatchConv3(nn.Module):
     backward fix that survives XLA's global fusion (PERF.md round 2). Param
     names/shapes/inits identical to nn.Conv; levels where the im2col form
     doesn't win (ops.patch_conv.worth_patching, a static shape gate) fall
-    back to the plain XLA conv at call time."""
+    back to the plain XLA conv at call time. dtype: optional compute dtype
+    (params stay fp32, like nn.Conv(dtype=...)) — the bf16 patch path is a
+    throughput mode (same gates, bf16 matmuls)."""
 
     features: int
     in_features: int
     max_c: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -116,10 +119,15 @@ class PatchConv3(nn.Module):
 
         kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, self.in_features, self.features))
         bias = self.param("bias", torch_bias_init(9 * self.in_features), (self.features,))
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            x = x.astype(self.dtype)
         h, w = x.shape[-3], x.shape[-2]
-        if worth_patching(h, w, self.in_features, self.max_c):
+        b = int(math.prod(x.shape[:-3])) if x.ndim > 3 else 1
+        if worth_patching(h, w, self.in_features, self.max_c, batch=b):
             return conv3_same_patches(x, kernel, bias)
-        if worth_taps(h, w, self.in_features, self.max_c):
+        if worth_taps(h, w, self.in_features, self.max_c, batch=b):
             return conv3_same_taps(x, kernel, bias)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
         return jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME", dimension_numbers=dn) + bias
@@ -127,10 +135,12 @@ class PatchConv3(nn.Module):
 
 def conv3_maybe_fast(features: int, in_features: int, fast: bool, dtype=None, name: str | None = None, patch_max_c: int = 0):
     """Select the conv implementation; explicit name keeps the param path at
-    Conv_0 either way. patch_max_c > 0: route fp32 levels through PatchConv3
-    (im2col forward where its static shape gate says it wins)."""
-    if patch_max_c > 0 and dtype is None:
-        return PatchConv3(features, in_features, max_c=patch_max_c, name=name or "Conv_0")
+    Conv_0 either way. patch_max_c > 0: route levels through PatchConv3
+    (im2col forward where its static shape gate says it wins) — fp32 is the
+    tested parity configuration; with a compute dtype set the patch runs as
+    a bf16 throughput mode (same shape gates)."""
+    if patch_max_c > 0:
+        return PatchConv3(features, in_features, max_c=patch_max_c, dtype=dtype, name=name or "Conv_0")
     if fast and dtype is None:
         return FastConv3(features, in_features, name=name or "Conv_0")
     return conv3(features, in_features, name=name, dtype=dtype)

@@ -123,20 +123,27 @@ PATCH_CONVT = False  # phase-decomposed ConvTranspose in the decoder
 TAP_WIDE = True  # 9-tap matmul form for wide (Cin>=64) convs at >=40px levels
 
 
-def worth_taps(h: int, w: int, cin: int, max_c: int) -> bool:
+def worth_taps(h: int, w: int, cin: int, max_c: int, batch: int = 1) -> bool:
     """Gate for conv3_same_taps. The wide levels' dw is the largest remaining
     B=1 cost (193 us by a freeze probe), but the tap form only wins net where
     the spatial extent keeps its matmuls big: Cin>=64 at >=40px (the decoder's
     50-px Cin=64 convs; 992 vs 982 imgs/s). Applying it at the low-res wide
     levels measured NET-negative (937 imgs/s) — their XLA conv forward is
-    already good and the tap glue costs more than the dw it saves (PERF.md)."""
-    return TAP_WIDE and cin >= 64 and h * w >= 1600
+    already good and the tap glue costs more than the dw it saves (PERF.md).
+    Batch-gated like worth_patching: the B=1 dw pathology it fixes does not
+    exist once the batch fills the MXU."""
+    return TAP_WIDE and batch == 1 and cin >= 64 and h * w >= 1600
 
 
-def worth_patching(h: int, w: int, cin: int, max_c: int) -> bool:
+def worth_patching(h: int, w: int, cin: int, max_c: int, batch: int = 1) -> bool:
     """Static gate: the im2col forward wins where the filter-gradient conv is
-    most degenerate — high-resolution, thin-channel levels. Measured on v5e
-    (PERF.md): Cin<=32 wins at every level present."""
+    most degenerate — high-resolution, thin-channel levels AT BATCH 1.
+    Measured on v5e (PERF.md): Cin<=32 wins at every level present at B=1
+    (fp32 +34%, bf16 +51%), but the 9x patches tensor turns into pure HBM
+    traffic once the batch fills the MXU — 8 lanes -8%, 128 lanes -76%
+    (round 3) — so any batch > 1 falls back to the plain XLA conv."""
+    if batch > 1:
+        return False
     if cin <= max_c:
         return True
     return EXTENDED_GATE and cin <= 2 * max_c and h * w >= 1600

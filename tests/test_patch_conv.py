@@ -164,7 +164,7 @@ def test_model_tap_wide_matches_plain(rng, monkeypatch):
     from plastic_unet_tpu.ops import patch_conv as pc
 
     monkeypatch.setattr(pc, "TAP_WIDE", True)
-    monkeypatch.setattr(pc, "worth_taps", lambda h, w, cin, max_c: True)
+    monkeypatch.setattr(pc, "worth_taps", lambda h, w, cin, max_c, batch=1: True)
     ref = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE)
     tap = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE, patch_conv=1)
     x = jnp.asarray(rng.standard_normal((1, SIZE, SIZE, 1)).astype(np.float32))
@@ -178,3 +178,66 @@ def test_model_tap_wide_matches_plain(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(o1.activ), np.asarray(o0.activ), atol=1e-4 * float(jnp.abs(o0.activ).max())
     )
+
+
+def test_patch_gate_disabled_at_batch(rng):
+    """The patch/tap forms are a B=1 backward fix; at batch>1 they are pure
+    HBM overhead (measured -8% at 8 lanes, -76% at 128 — PERF.md round 3),
+    so a patch_conv model at batch>1 must compute the EXACT plain-conv
+    graph (bit-identical outputs, since the same XLA conv runs)."""
+    from plastic_unet_tpu.ops.patch_conv import worth_patching, worth_taps
+
+    assert worth_patching(16, 16, 2, 32, batch=1)
+    assert not worth_patching(16, 16, 2, 32, batch=2)
+    assert not worth_taps(50, 50, 64, 32, batch=8)
+
+    ref = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE)
+    patch = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0, nbf=SIZE, patch_conv=4)
+    x = jnp.asarray(rng.standard_normal((3, SIZE, SIZE, 1)).astype(np.float32))
+    h = ref.initial_zero_hebb(3)
+    p0 = ref.init(jax.random.PRNGKey(0), x[:1], h[:1])["params"]
+    o_ref = ref.apply({"params": p0}, x, h)
+    o_patch = patch.apply({"params": p0}, x, h)
+    np.testing.assert_array_equal(np.asarray(o_ref.activout), np.asarray(o_patch.activout))
+
+
+def test_model_patch_conv_bf16_matches_plain_bf16():
+    """bf16 throughput mode: patch_conv with compute_dtype=bfloat16 must
+    compute the same function as the plain bf16 conv stack to bf16-rounding
+    tolerance (round-3 extension; fp32 remains the parity configuration).
+    Local fixed seed: bf16 accumulation-order deltas vary with the draw, so
+    the shared session rng would make the tolerance order-dependent."""
+    rng = np.random.default_rng(1234)
+    plain = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0,
+                     nbf=SIZE, compute_dtype=jnp.bfloat16)
+    patch = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0,
+                     nbf=SIZE, compute_dtype=jnp.bfloat16, patch_conv=4)
+    x = jnp.asarray(rng.standard_normal((1, SIZE, SIZE, 1)).astype(np.float32))
+    y = jnp.asarray((rng.random((1, SIZE, SIZE)) > 0.5).astype(np.float32))
+    h = plain.initial_zero_hebb(1)
+    p0 = plain.init(jax.random.PRNGKey(0), x, h)["params"]
+    p1 = patch.init(jax.random.PRNGKey(0), x, h)["params"]
+    # identical param trees (fp32 params either way)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p0)[0], jax.tree_util.tree_flatten_with_path(p1)[0]
+    ):
+        assert ka == kb and a.dtype == b.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+
+    def loss(m, p):
+        return bce_logits(m.apply({"params": p}, x, h).activ, y)
+
+    l_plain = float(loss(plain, p0))
+    l_patch = float(loss(patch, p0))
+    # bf16 accumulation-order tolerance (the two forms sum taps differently)
+    np.testing.assert_allclose(l_patch, l_plain, rtol=3e-2)
+    g0 = jax.grad(lambda p: loss(plain, p))(p0)
+    g1 = jax.grad(lambda p: loss(patch, p))(p0)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g0)[0], jax.tree.leaves(g1)):
+        # floor the scale at 1e-5: leaves whose whole gradient is bf16
+        # noise-level (~1e-6 biases) would otherwise demand absolute
+        # agreement finer than bf16 can represent
+        scale = max(float(jnp.abs(a).max()), 1e-5)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=6e-2 * scale, err_msg=str(path)
+        )

@@ -84,3 +84,42 @@ def test_nan_abort_saves_state(tmp_path, monkeypatch):
     with pytest.raises(FloatingPointError):
         driver.start_train(x_train, x_valid, y_train, y_valid, cfg)
     assert os.path.exists(os.path.join(cfg.out_dir, "NAN_ABORT_data.hdf5"))
+
+
+def test_nan_abort_chunked_truncates_at_first_bad_epoch(tmp_path, monkeypatch):
+    """With epochs_per_dispatch>1, the NAN_ABORT artifact must contain only
+    the losses up to and including the FIRST non-finite epoch row — epochs
+    after it in the chunk never 'happened' from the loop's view — and the
+    error must name the failing epoch and chunk row (ADVICE r02)."""
+    import h5py
+    import jax.numpy as jnp
+
+    from plastic_unet_tpu.train import loop as loop_mod
+
+    real_make = loop_mod.make_multi_epoch_fn
+
+    def poisoned_make(*a, **kw):
+        fn = real_make(*a, **kw)
+
+        def wrapped(state, X, Y, erngs, pkeys, akeys):
+            state, losses = fn(state, X, Y, erngs, pkeys, akeys)
+            return state, losses.at[2].set(jnp.nan)  # rows 0,1 fine; row 2 bad
+
+        return wrapped
+
+    monkeypatch.setattr(loop_mod, "make_multi_epoch_fn", poisoned_make)
+
+    x_train, x_valid, y_train, y_valid = synthetic_split(8, 4, size=SIZE, seed=4)
+    cfg = TrainConfig(
+        out_dir=str(tmp_path / "out"), epochs=4, epochs_per_dispatch=4,
+        val_every=10, save_every=100,
+        im_width=SIZE, im_height=SIZE, neurons=2, matmul_precision="parity",
+    )
+    with pytest.raises(FloatingPointError, match=r"epoch 2 .*row 2"):
+        driver.start_train(x_train, x_valid, y_train, y_valid, cfg)
+
+    with h5py.File(os.path.join(cfg.out_dir, "NAN_ABORT_data.hdf5"), "r") as f:
+        saved = np.asarray(f["train"]["all_losses"])
+    # rows 0..2 inclusive, 8 samples each — NOT the full 4-epoch chunk
+    assert saved.shape[0] == 3 * 8
+    assert np.isfinite(saved[: 2 * 8]).all() and not np.isfinite(saved[2 * 8 :]).all()

@@ -104,14 +104,22 @@ def predict(
     )
     mask_threshold = run_params["mask_threshold"]
 
-    preds = np.asarray(predict_masks_tta(model, params, X_test, transforms=tta, chunk=chunk, mesh=mesh))
+    # Binarize ON DEVICE and fetch uint8: every consumer below (viz, PNG
+    # dump, RLE) uses only `pred > threshold`, and the uint8 fetch moves 4x
+    # less data through the (bandwidth- and roundtrip-limited) device link
+    # than the fp32 probabilities. mask_threshold is an exactly-representable
+    # float32 (score_model_best_iou casts the grid), so the device-side
+    # compare equals the host-side one bit-for-bit (the full-pipeline
+    # byte-parity test runs through this path).
+    preds_dev = predict_masks_tta(model, params, X_test, transforms=tta, chunk=chunk, mesh=mesh)
+    masks = np.asarray((preds_dev > jnp.float32(mask_threshold)).astype(jnp.uint8))
 
     if visualize:
         from plastic_unet_tpu.viz.plots import plot_image_mask
 
-        for i in range(len(preds)):
+        for i in range(len(masks)):
             image = X_test[i].squeeze()
-            plot_image_mask(np.dstack((image, image, image)), (preds[i] > mask_threshold).astype(np.uint8))
+            plot_image_mask(np.dstack((image, image, image)), masks[i])
 
     if save_masks:
         from plastic_unet_tpu.data.images import save_mask_png
@@ -119,13 +127,13 @@ def predict(
         mask_dir = os.path.join(run_params["out_dir"], "masks")
         os.makedirs(mask_dir, exist_ok=True)
         for i, idx in enumerate(test_df.index):
-            save_mask_png(os.path.join(mask_dir, f"{idx}.png"), preds[i] > mask_threshold)
+            save_mask_png(os.path.join(mask_dir, f"{idx}.png"), masks[i].astype(bool))
 
-    print(preds[0].shape)
+    print(masks[0].shape)
     print("Inference complete")
 
     # RLE-encode binarized masks (round(pred > thr) as in infer.py:99)
-    rles = encode_batch((preds > mask_threshold).astype(np.uint8))
+    rles = encode_batch(masks)
     pred_dict = {fn: rles[i] for i, fn in enumerate(test_df.index)}
 
     subm_file = os.path.join(run_params["out_dir"], run_params["subm_file"])

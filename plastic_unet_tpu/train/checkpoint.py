@@ -38,6 +38,13 @@ def save_reference_artifacts(
     """Write the reference's three checkpoint artifacts at <prefix>_*."""
     import h5py
 
+    # One packed device->host transfer for the whole tree instead of a
+    # ~25-30 ms relay roundtrip per leaf (utils.transfer; measured 3.1 s ->
+    # sub-second per save by scripts/r3_e2e_attribution.py).
+    from plastic_unet_tpu.utils.transfer import fetch_tree_to_host
+
+    params = fetch_tree_to_host(params)
+
     with h5py.File(prefix + "_data.hdf5", "w") as f:
         # net/{w,alpha,eta} exist only for plastic models; the vanilla
         # (plastic=False) extension has no head params to record.

@@ -19,7 +19,7 @@ in tests/test_parallel.py.
 
 from __future__ import annotations
 
-
+import functools
 from typing import Callable
 
 import jax
@@ -32,6 +32,7 @@ from plastic_unet_tpu.parallel.mesh import DATA_AXIS
 from plastic_unet_tpu.train.loop import TrainState
 
 
+@functools.lru_cache(maxsize=32)
 def make_dp_epoch_fn(
     model,
     tx: optax.GradientTransformation,
@@ -41,7 +42,9 @@ def make_dp_epoch_fn(
     trace_mode: str = "per_device",
     axes: tuple = (DATA_AXIS,),
 ) -> Callable:
-    """Build the jitted data-parallel whole-epoch function.
+    """Build the jitted data-parallel whole-epoch function (lru_cached on
+    the hashable (model, tx, mesh, ...) key — repeated driver invocations
+    with the same config reuse traced executables, see train.loop).
 
     Signature: (state, X, Y, rng) -> (state, losses)
       X: (S, D*L, H, W, C), Y: (S, D*L, H, W) with the lane axis sharded

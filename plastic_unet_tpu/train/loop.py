@@ -20,7 +20,7 @@ Throughput modes beyond the reference's batch=1 (explicit, documented):
 
 from __future__ import annotations
 
-
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -86,6 +86,7 @@ def make_train_step(
     return train_step
 
 
+@functools.lru_cache(maxsize=32)
 def make_epoch_fn(model, tx: optax.GradientTransformation, *, loss_space: str = "logits", lanes: int = 1, donate: bool = True) -> Callable:
     """Build the jitted whole-epoch function.
 
@@ -93,6 +94,12 @@ def make_epoch_fn(model, tx: optax.GradientTransformation, *, loss_space: str = 
       X: (S, B, H, W, C), Y: (S, B, H, W) — S sequential steps of B lanes.
       The hebb trace is re-zeroed by the caller per epoch (train.py:88).
     Returns per-step losses (S,).
+
+    lru_cached on (model, tx, ...) — flax Modules hash by field values and
+    adam_step_lr returns a cached tx, so repeated driver invocations with
+    the same config reuse the SAME jit wrapper (and its traced executables)
+    instead of re-tracing every epoch graph (~seconds per invocation,
+    PERF.md round-3 e2e attribution).
     """
     step_fn = make_train_step(model, tx, loss_space=loss_space)
 
@@ -106,6 +113,7 @@ def make_epoch_fn(model, tx: optax.GradientTransformation, *, loss_space: str = 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
 
 
+@functools.lru_cache(maxsize=32)
 def make_multi_epoch_fn(
     model,
     tx: optax.GradientTransformation,

@@ -16,6 +16,8 @@ Verified against torch trajectories in tests/test_train_loop.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import optax
 
@@ -30,6 +32,7 @@ def step_lr_schedule(lr: float, gamma: float, step_size: float) -> optax.Schedul
     return schedule
 
 
+@functools.lru_cache(maxsize=32)
 def adam_step_lr(
     lr: float, gamma: float = 0.666, step_size: float = 1e6, fused: bool = False
 ) -> optax.GradientTransformation:
@@ -39,7 +42,14 @@ def adam_step_lr(
     of ~60 leaves). Measured NEGATIVE on TPU v5e at B=1: 576 vs 677 imgs/s —
     the ravel concat + unravel slices cost more than the saved elementwise
     kernels, because the step is conv-bound, not optimizer-bound (PERF.md
-    round-2 breakdown). Kept as a tested opt-in; default off."""
+    round-2 breakdown). Kept as a tested opt-in; default off.
+
+    lru_cached: optax transforms are immutable, and returning the SAME
+    instance for the same hyperparameters lets the (model, tx)-keyed epoch
+    factory caches in train.loop hit — repeated start_train invocations in
+    one process (hyperparameter sweeps, the e2e pipeline) then reuse traced
+    jit executables instead of re-tracing (~seconds each, PERF.md round-3
+    attribution)."""
     tx = optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0),
         optax.scale_by_schedule(step_lr_schedule(lr, gamma, step_size)),

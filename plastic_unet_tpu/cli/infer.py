@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prule", default="hebb")
     p.add_argument("--tta", default="identity",
                    help="TTA views: preset tta2/tta4/tta8 (full dihedral group) or a comma list of "
-                        "identity,hflip,vflip,rot90,rot180,rot270,transpose,anti_transpose")
+                        "identity,hflip,vflip,rot90,rot180,rot270,transpose,anti_transpose. "
+                        "tta4 is the quality-safe preset for anisotropic (seismic-like) data; the "
+                        "axis-swapping views in tta8 can hurt there (QUALITY.md TTA study)")
     p.add_argument("--fixed-threshold", dest="fixed_threshold", type=float, default=None,
                    help="skip the validation threshold search and use this value")
     p.add_argument("--precision", default="perf")

@@ -13,10 +13,21 @@ _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "plastic_unet_tpu
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Enable the on-disk cache — accelerator backends only.
+
+    On the CPU backend the cache is deliberately NOT enabled: serializing
+    certain CPU executables (donated-buffer scan graphs) segfaults the
+    process in this JAX build (`compilation_cache.put_executable_and_time`,
+    observed twice in the test suite once cache writes actually happened —
+    round 3). CPU compiles are seconds, not minutes, so the cache buys
+    little there anyway. Set PLASTIC_UNET_FORCE_CPU_CACHE=1 to override.
+    """
     import jax
 
     path = cache_dir or os.environ.get("PLASTIC_UNET_XLA_CACHE", _DEFAULT_DIR)
     try:
+        if jax.default_backend() == "cpu" and not os.environ.get("PLASTIC_UNET_FORCE_CPU_CACHE"):
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -12,6 +12,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Isolate the persistent XLA compilation cache: CLI-driving tests call
+# enable_compilation_cache(), which is process-global — without this, CPU
+# test processes read AND write the production TPU cache dir. Concurrent
+# test batches once corrupted an entry there, and a later cache READ
+# segfaulted the whole suite (jax compilation_cache.get_executable_and_time).
+# A per-session temp dir keeps tests self-contained and the real cache clean.
+import tempfile
+
+os.environ["PLASTIC_UNET_XLA_CACHE"] = tempfile.mkdtemp(prefix="plastic_unet_test_xla_")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -20,6 +30,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_SRC = "/root/reference/src"
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_memory_maps():
+    """Keep the process under vm.max_map_count (default 65,530).
+
+    Every compiled XLA CPU executable holds LLVM-JIT code mappings; a full
+    suite run accumulates them monotonically (measured ~2,000 maps per
+    test-file late in the run) until mmap fails and LLVM SEGFAULTS mid-
+    compile — reproduced at exactly maps==65,530, three times, at ~75% of
+    the suite. Clearing jax's executable caches releases the mappings
+    (measured 1,198 -> 475 in a 60-jit probe), so drop them whenever the
+    map count passes a safety threshold. Threshold-gated to keep warm jit
+    caches for the vast majority of tests."""
+    yield
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:
+        return
+    if n_maps > 30_000:
+        import jax as _jax
+
+        _jax.clear_caches()
 
 
 @pytest.fixture(autouse=True)

@@ -72,7 +72,10 @@ class TrainConfig:
     # (amortizes ~50 ms/dispatch for small sweep-sized epochs; chunks never
     # cross a validation/save/rollout boundary, and 1 = reference-exact
     # dispatch cadence. >1 coarsens the wall-clock stop check and NaN
-    # detection to chunk granularity; single-host only.)
+    # detection to chunk granularity. Works on both the single-device and
+    # the data-parallel path (devices>1 routes through
+    # parallel.dp.make_dp_multi_epoch_fn — bit-identical to per-epoch DP
+    # dispatches, tests/test_multi_epoch.py).
     quirk_epoch_loss: bool = True  # reproduce train.py:115 (all_losses[-N] scalar)
     trace_mode: str = "per_device"  # 'per_device' (faithful) | 'pmean' (throughput)
     resume_orbax: str = ""  # path to an orbax TrainState for exact resume

@@ -106,6 +106,141 @@ def make_dp_epoch_fn(
     return epoch
 
 
+@functools.lru_cache(maxsize=32)
+def make_dp_multi_epoch_fn(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    loss_space: str = "logits",
+    trace_mode: str = "per_device",
+    axes: tuple = (DATA_AXIS,),
+    shuffle: bool = False,
+    augment: bool = False,
+) -> Callable:
+    """Multi-epoch dispatch (cfg.epochs_per_dispatch) for the DATA-PARALLEL
+    path: an outer `lax.scan` over K epochs runs entirely inside one
+    shard_map dispatch — per epoch: shard-local shuffle, device-side
+    augmentation, trace re-zero (train.py:88), then the per-step scan with
+    pmean'd gradients. Bit-identical to K single-epoch DP dispatches
+    (tests/test_multi_epoch.py::test_dp_chunks_bit_identical):
+
+      * shuffle reproduces make_shard_shuffle_fn exactly (same per-device
+        fold_in(key, axis_index) + permutation of the local (S*L) block);
+      * augmentation reproduces the driver's global-flatten semantics: the
+        per-epoch path flattens the (S, D*L) stream row-major and
+        augment_stream splits the key once per global sample, so each
+        device regenerates the full split and gathers the keys for ITS
+        lane block (sample s, local lane l on device d -> global index
+        s*D*L + d*L + l).
+
+    Signature: (state, X, Y, epoch_rngs, perm_keys, aug_keys)
+                 -> (state, losses (K, S))  — same contract as
+    train.loop.make_multi_epoch_fn, with X/Y lane-sharded over the mesh.
+    """
+    import numpy as np
+
+    from plastic_unet_tpu.ops.augment import random_flip_rotate
+
+    if trace_mode not in ("per_device", "pmean"):
+        raise ValueError(f"unknown trace_mode {trace_mode!r}")
+    axes = tuple(axes)
+    lane_spec = axes if len(axes) > 1 else axes[0]
+    n_devices = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def loss_fn(params, img, mask, hebb, drop_rng):
+        out = model.apply(
+            {"params": params},
+            img,
+            jax.lax.stop_gradient(hebb),
+            train=True,
+            rngs={"dropout": drop_rng},
+        )
+        loss = bce_probs(out.activout, mask) if loss_space == "probs" else bce_logits(out.activ, mask)
+        return loss, out.hebb
+
+    def shard_run(params, opt_state, hebb0, step, Xs, Ys, epoch_rngs, perm_keys, aug_keys):
+        """Per device. Xs: (S, L, H, W, C) local shard; keys: (K,) each."""
+        s_steps, l_lanes = Xs.shape[0], Xs.shape[1]
+        dev = jax.lax.axis_index(axes)
+
+        def epoch_body(carry, per_epoch):
+            params, opt_state, hebb, step = carry
+            erng, pkey, akey = per_epoch
+            Xe, Ye = Xs, Ys
+            if shuffle:
+                k = jax.random.fold_in(pkey, dev)
+                perm = jax.random.permutation(k, s_steps * l_lanes)
+
+                def apply_perm(a):
+                    flat = a.reshape((s_steps * l_lanes,) + a.shape[2:])
+                    return flat[perm].reshape(a.shape)
+
+                Xe, Ye = apply_perm(Xe), apply_perm(Ye)
+            if augment:
+                keys_all = jax.random.split(akey, s_steps * n_devices * l_lanes)
+                idx = (
+                    jnp.arange(s_steps)[:, None] * (n_devices * l_lanes)
+                    + dev * l_lanes
+                    + jnp.arange(l_lanes)[None, :]
+                ).reshape(-1)
+                keys_local = keys_all[idx]
+                Xf = Xe.reshape((s_steps * l_lanes,) + Xe.shape[2:])
+                Yf = Ye.reshape((s_steps * l_lanes,) + Ye.shape[2:])
+                Xa, Ya = jax.vmap(lambda kk, x, y: random_flip_rotate(kk, x, y, True))(
+                    keys_local, Xf, Yf
+                )
+                Xe = Xa.reshape(Xe.shape)
+                Ye = Ya.reshape(Ye.shape)
+            hebb = jnp.zeros_like(hebb)  # fresh trace per epoch (train.py:88)
+
+            def body(c, batch):
+                params, opt_state, hebb, step = c
+                img, mask = batch
+                drop_rng = jax.random.fold_in(jax.random.fold_in(erng, step), dev)
+                (loss, new_hebb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, img, mask, hebb, drop_rng
+                )
+                grads = jax.lax.pmean(grads, axes)
+                loss = jax.lax.pmean(loss, axes)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                if trace_mode == "pmean":
+                    new_hebb = jnp.broadcast_to(
+                        jax.lax.pmean(jnp.mean(new_hebb, axis=0, keepdims=True), axes),
+                        new_hebb.shape,
+                    )
+                return (new_params, new_opt, new_hebb, step + 1), loss
+
+            (params, opt_state, hebb, step), losses = jax.lax.scan(
+                body, (params, opt_state, hebb, step), (Xe, Ye)
+            )
+            return (params, opt_state, hebb, step), losses
+
+        (params, opt_state, hebb, step), losses = jax.lax.scan(
+            epoch_body, (params, opt_state, hebb0, step), (epoch_rngs, perm_keys, aug_keys)
+        )
+        return params, opt_state, hebb, step, losses
+
+    sharded = jax.shard_map(
+        shard_run,
+        mesh=mesh,
+        in_specs=(P(), P(), P(lane_spec), P(), P(None, lane_spec), P(None, lane_spec), P(), P(), P()),
+        out_specs=(P(), P(), P(lane_spec), P(), P()),
+        check_vma=False,  # params provably replicated via pmean'd grads
+    )
+
+    @jax.jit
+    def run(state: TrainState, X, Y, epoch_rngs, perm_keys, aug_keys):
+        params, opt_state, hebb, step, losses = sharded(
+            state.params, state.opt_state, state.hebb, state.step, X, Y,
+            epoch_rngs, perm_keys, aug_keys,
+        )
+        return TrainState(params, opt_state, hebb, step), losses
+
+    return run
+
+
 def make_shard_shuffle_fn(mesh: Mesh, axes: tuple = (DATA_AXIS,)) -> Callable:
     """Jitted shard-local epoch shuffle: (X, Y, key) -> (X', Y') where each
     device independently permutes its own (S, L) sample block.

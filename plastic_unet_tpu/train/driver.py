@@ -190,18 +190,19 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     # checkpoint code is identical to the per-epoch path; the per-epoch key
     # derivation order is replicated exactly (tests/test_multi_epoch.py pins
     # bit-identical losses+params vs epochs_per_dispatch=1).
-    use_chunks = cfg.epochs_per_dispatch > 1 and cfg.devices == 1
-    if cfg.epochs_per_dispatch > 1 and cfg.devices > 1:
-        import warnings
+    use_chunks = cfg.epochs_per_dispatch > 1
+    if use_chunks and cfg.devices > 1:
+        # DP variant (round 3): the whole K-epoch chunk — shard-local
+        # shuffle, augmentation, trace re-zeros, per-step psum'd updates —
+        # runs inside ONE shard_map dispatch; bit-identical to K per-epoch
+        # DP dispatches (tests/test_multi_epoch.py::test_dp_chunks_*).
+        from plastic_unet_tpu.parallel.dp import make_dp_multi_epoch_fn
 
-        warnings.warn(
-            "epochs_per_dispatch>1 is single-host only and is ignored when "
-            "devices>1 (the DP epoch fn dispatches one epoch at a time); "
-            "running with epochs_per_dispatch=1 semantics.",
-            RuntimeWarning,
-            stacklevel=2,
+        multi_epoch_fn = make_dp_multi_epoch_fn(
+            model, tx, mesh, loss_space=cfg.loss_space, trace_mode=cfg.trace_mode,
+            shuffle=cfg.shuffle, augment=cfg.augment,
         )
-    if use_chunks:
+    elif use_chunks:
         from plastic_unet_tpu.train.loop import make_multi_epoch_fn
 
         multi_epoch_fn = make_multi_epoch_fn(

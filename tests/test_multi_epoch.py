@@ -63,13 +63,23 @@ def test_chunks_respect_boundaries(tmp_path):
     assert os.path.exists(str(tmp_path / "bnd" / "train_data.hdf5"))
 
 
-def test_chunks_ignored_with_devices_warns(tmp_path):
-    """epochs_per_dispatch>1 is single-host only; with devices>1 the driver
-    must fall back to per-epoch dispatch AND say so (VERDICT r02 weak #6)."""
-    with pytest.warns(RuntimeWarning, match="epochs_per_dispatch"):
-        res = _run(tmp_path, "warn", epochs=2, epochs_per_dispatch=4, devices=2)
-    # DP records one loss per step: 2 epochs x (6 samples / 2 devices)
-    assert len(res.all_losses) == 6
+@pytest.mark.parametrize("extra", [{}, {"shuffle": True, "augment": True}])
+def test_dp_chunks_bit_identical(tmp_path, extra):
+    """epochs_per_dispatch>1 with devices>1 (round 3: the DP multi-epoch
+    dispatch, parallel/dp.py::make_dp_multi_epoch_fn) must be bit-identical
+    to per-epoch DP dispatches — incl. shard-local shuffle and the
+    global-flatten augmentation key order."""
+    ref = _run(tmp_path, "dpref" + str(len(extra)), epochs=4, devices=2, **extra)
+    chk = _run(tmp_path, "dpchk" + str(len(extra)), epochs=4, devices=2,
+               epochs_per_dispatch=8, **extra)
+
+    np.testing.assert_array_equal(np.asarray(chk.all_losses), np.asarray(ref.all_losses))
+    np.testing.assert_array_equal(np.asarray(chk.val_test_losses), np.asarray(ref.val_test_losses))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(ref.state.params), jax.tree.leaves(chk.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(chk.state.step) == int(ref.state.step)
 
 
 def test_chunk_epochs_boundary_math():

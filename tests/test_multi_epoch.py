@@ -63,14 +63,20 @@ def test_chunks_respect_boundaries(tmp_path):
     assert os.path.exists(str(tmp_path / "bnd" / "train_data.hdf5"))
 
 
-@pytest.mark.parametrize("extra", [{}, {"shuffle": True, "augment": True}])
+@pytest.mark.parametrize(
+    "extra",
+    [{}, {"shuffle": True, "augment": True}, {"trace_mode": "pmean"}],
+    ids=["plain", "shuffle_augment", "pmean"],
+)
 def test_dp_chunks_bit_identical(tmp_path, extra):
     """epochs_per_dispatch>1 with devices>1 (round 3: the DP multi-epoch
     dispatch, parallel/dp.py::make_dp_multi_epoch_fn) must be bit-identical
-    to per-epoch DP dispatches — incl. shard-local shuffle and the
-    global-flatten augmentation key order."""
-    ref = _run(tmp_path, "dpref" + str(len(extra)), epochs=4, devices=2, **extra)
-    chk = _run(tmp_path, "dpchk" + str(len(extra)), epochs=4, devices=2,
+    to per-epoch DP dispatches — incl. shard-local shuffle, the
+    global-flatten augmentation key order, and the pmean trace-coherence
+    mode."""
+    tag = "_".join(sorted(extra)) or "plain"
+    ref = _run(tmp_path, "dpref" + tag, epochs=4, devices=2, **extra)
+    chk = _run(tmp_path, "dpchk" + tag, epochs=4, devices=2,
                epochs_per_dispatch=8, **extra)
 
     np.testing.assert_array_equal(np.asarray(chk.all_losses), np.asarray(ref.all_losses))

@@ -368,14 +368,16 @@ def main():
     vanilla_ips = bench_vanilla_forward(min(n_infer, 256))
     oja_ips = bench_oja_epoch_with_eval(min(max(steps // 2, 64), 512))
     coord_ips, _, _ = bench_train(lanes=8, steps=32, coord_conv=True)
+    e2e_error = None
     try:
         e2e_ips, e2e_secs = bench_e2e_tuned_run(
             train_samples=int(os.environ.get("BENCH_E2E_TRAIN_SAMPLES", 512)),
             epochs=int(os.environ.get("BENCH_E2E_EPOCHS", 2)),
             n_test=int(os.environ.get("BENCH_E2E_TEST_SAMPLES", 1024)),
         )
-    except Exception:
+    except Exception as e:  # honest-failure record, like the watchdog's
         e2e_ips, e2e_secs = None, None
+        e2e_error = f"{type(e).__name__}: {e}"
 
     baseline = None
     try:
@@ -401,6 +403,7 @@ def main():
         "infer_tta8_bf16_images_per_sec": round(infer_tta8_ips, 1),
         "e2e_tuned_run_images_per_sec": round(e2e_ips, 1) if e2e_ips else None,
         "e2e_tuned_run_seconds": round(e2e_secs, 1) if e2e_secs else None,
+        "e2e_tuned_run_error": e2e_error,
         "vanilla_forward_images_per_sec": round(vanilla_ips, 1),
         "oja_epoch_with_eval_images_per_sec": round(oja_ips, 1),
         "coordconv_plastic_train_images_per_sec": round(coord_ips, 1),

@@ -35,7 +35,21 @@ if _os.environ.get("PLASTIC_UNET_PLATFORM"):
         import jax as _jax
 
         _jax.config.update("jax_platforms", _os.environ["PLASTIC_UNET_PLATFORM"])
-    except Exception:
-        pass
+    except Exception as _e:
+        # Do NOT swallow silently: a failed force leaves the process on the
+        # default backend (possibly a single-client TPU relay) — the exact
+        # hazard this knob exists to prevent. Warn loudly so the caller can
+        # bail before claiming an accelerator it did not want.
+        import sys as _sys
+
+        print(
+            "plastic_unet_tpu: WARNING: PLASTIC_UNET_PLATFORM="
+            f"{_os.environ['PLASTIC_UNET_PLATFORM']!r} could not be applied "
+            f"({type(_e).__name__}: {_e}); the process will use the default "
+            "JAX backend. Set the platform before any jax backend use "
+            "(import plastic_unet_tpu first).",
+            file=_sys.stderr,
+            flush=True,
+        )
 
 from plastic_unet_tpu import ops  # noqa: F401

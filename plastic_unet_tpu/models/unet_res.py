@@ -91,7 +91,14 @@ class UNetPRes(nn.Module):
                 raise ValueError(
                     f"trunk_pad={self.trunk_pad} smaller than input {h0}x{w0}"
                 )
-            if h0 < self.trunk_pad:
+            if h0 != w0:
+                # pad_to/crop_from restore a SQUARE (size, size) geometry and
+                # the plastic head needs (nbf, nbf) — reject non-square tiles
+                # here rather than silently mis-cropping the width.
+                raise ValueError(
+                    f"trunk_pad requires square inputs, got {h0}x{w0}"
+                )
+            if h0 < self.trunk_pad or w0 < self.trunk_pad:
                 from plastic_unet_tpu.ops.augment import pad_to
 
                 x = pad_to(x, self.trunk_pad, mode="reflect")

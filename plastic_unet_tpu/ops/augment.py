@@ -81,6 +81,10 @@ def parse_tta(spec: str) -> tuple[str, ...]:
     if s in presets:
         return presets[s]
     views = tuple(v.strip() for v in s.split(",") if v.strip())
+    if not views:
+        raise ValueError(
+            f"empty TTA spec {spec!r}; valid: {sorted(TTA_TRANSFORMS)} or presets {sorted(presets)}"
+        )
     unknown = [v for v in views if v not in TTA_TRANSFORMS]
     if unknown:
         raise ValueError(f"unknown TTA view(s) {unknown}; valid: {sorted(TTA_TRANSFORMS)} or presets {sorted(presets)}")

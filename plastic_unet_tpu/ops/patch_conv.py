@@ -123,6 +123,14 @@ PATCH_CONVT = False  # phase-decomposed ConvTranspose in the decoder
 TAP_WIDE = True  # 9-tap matmul form for wide (Cin>=64) convs at >=40px levels
 
 
+def gate_state() -> tuple:
+    """Current values of the experiment knobs above. The knobs change what
+    tracing emits, so every memoized jit-factory (train/loop.py,
+    parallel/dp.py) keys its cache on this tuple — flipping a knob then
+    rebuilding an epoch fn must re-trace, not return the stale executable."""
+    return (TAP_WIDE, EXTENDED_GATE, PATCH_CONVT)
+
+
 def worth_taps(h: int, w: int, cin: int, max_c: int, batch: int = 1) -> bool:
     """Gate for conv3_same_taps. The wide levels' dw is the largest remaining
     B=1 cost (193 us by a freeze probe), but the tap form only wins net where

@@ -32,7 +32,6 @@ from plastic_unet_tpu.parallel.mesh import DATA_AXIS
 from plastic_unet_tpu.train.loop import TrainState
 
 
-@functools.lru_cache(maxsize=32)
 def make_dp_epoch_fn(
     model,
     tx: optax.GradientTransformation,
@@ -42,9 +41,27 @@ def make_dp_epoch_fn(
     trace_mode: str = "per_device",
     axes: tuple = (DATA_AXIS,),
 ) -> Callable:
-    """Build the jitted data-parallel whole-epoch function (lru_cached on
-    the hashable (model, tx, mesh, ...) key — repeated driver invocations
-    with the same config reuse traced executables, see train.loop).
+    from plastic_unet_tpu.ops.patch_conv import gate_state
+
+    return _make_dp_epoch_fn_cached(
+        model, tx, mesh, loss_space, trace_mode, tuple(axes), gate_state()
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_dp_epoch_fn_cached(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_space: str,
+    trace_mode: str,
+    axes: tuple,
+    _gates: tuple,
+) -> Callable:
+    """Build the jitted data-parallel whole-epoch function (memoized on
+    the hashable (model, tx, mesh, ..., patch_conv.gate_state()) key —
+    repeated driver invocations with the same config reuse traced
+    executables, see train.loop).
 
     Signature: (state, X, Y, rng) -> (state, losses)
       X: (S, D*L, H, W, C), Y: (S, D*L, H, W) with the lane axis sharded
@@ -106,7 +123,6 @@ def make_dp_epoch_fn(
     return epoch
 
 
-@functools.lru_cache(maxsize=32)
 def make_dp_multi_epoch_fn(
     model,
     tx: optax.GradientTransformation,
@@ -117,6 +133,26 @@ def make_dp_multi_epoch_fn(
     axes: tuple = (DATA_AXIS,),
     shuffle: bool = False,
     augment: bool = False,
+) -> Callable:
+    from plastic_unet_tpu.ops.patch_conv import gate_state
+
+    return _make_dp_multi_epoch_fn_cached(
+        model, tx, mesh, loss_space, trace_mode, tuple(axes), shuffle, augment,
+        gate_state(),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_dp_multi_epoch_fn_cached(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_space: str,
+    trace_mode: str,
+    axes: tuple,
+    shuffle: bool,
+    augment: bool,
+    _gates: tuple,
 ) -> Callable:
     """Multi-epoch dispatch (cfg.epochs_per_dispatch) for the DATA-PARALLEL
     path: an outer `lax.scan` over K epochs runs entirely inside one

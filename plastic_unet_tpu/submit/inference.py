@@ -78,6 +78,19 @@ def predict_masks_tta(
     return tta_merge(stacked, transforms, channels_last=False)
 
 
+def threshold_as_f32(t: float) -> np.float32:
+    """The f32 threshold whose compare `p > t32` equals the host float64
+    compare `p > t` for EVERY f32 prediction p: the largest f32 <= t (no f32
+    lies in (t32, t], so the classified sets are identical). Thresholds from
+    score_model_best_iou are already exact f32 (the grid is f32) and pass
+    through unchanged; --fixed-threshold can be any float64 (e.g. 0.3, whose
+    round-nearest f32 is ABOVE it and would misclassify p == f32(0.3))."""
+    t32 = np.float32(t)
+    if float(t32) > float(t):
+        t32 = np.nextafter(t32, np.float32(-np.inf))
+    return t32
+
+
 def predict(
     model,
     params,
@@ -107,12 +120,11 @@ def predict(
     # Binarize ON DEVICE and fetch uint8: every consumer below (viz, PNG
     # dump, RLE) uses only `pred > threshold`, and the uint8 fetch moves 4x
     # less data through the (bandwidth- and roundtrip-limited) device link
-    # than the fp32 probabilities. mask_threshold is an exactly-representable
-    # float32 (score_model_best_iou casts the grid), so the device-side
-    # compare equals the host-side one bit-for-bit (the full-pipeline
-    # byte-parity test runs through this path).
+    # than the fp32 probabilities. The full-pipeline byte-parity test runs
+    # through this path.
+    t32 = threshold_as_f32(mask_threshold)
     preds_dev = predict_masks_tta(model, params, X_test, transforms=tta, chunk=chunk, mesh=mesh)
-    masks = np.asarray((preds_dev > jnp.float32(mask_threshold)).astype(jnp.uint8))
+    masks = np.asarray((preds_dev > jnp.float32(t32)).astype(jnp.uint8))
 
     if visualize:
         from plastic_unet_tpu.viz.plots import plot_image_mask

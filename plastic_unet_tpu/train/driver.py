@@ -68,6 +68,23 @@ def build_model(cfg: TrainConfig):
             compute_dtype=None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype).type,
         )
     if cfg.arch == "unet":
+        # UNetP supports none of the trunk-surgery knobs; reject rather than
+        # silently ignore (e.g. a user told --trunk-pad "must match how the
+        # model was trained" must not get an unpadded model without warning).
+        unsupported = {
+            "trunk_pad": cfg.trunk_pad,
+            "patch_conv": cfg.patch_conv,
+            "pallas_trunk": cfg.pallas_trunk,
+            "fast_dw": cfg.fast_dw,
+        }
+        bad = [k for k, v in unsupported.items() if v]
+        if cfg.compute_dtype != "float32":
+            bad.append("compute_dtype")
+        if bad:
+            raise ValueError(
+                f"arch 'unet' does not support {bad}; these options apply to "
+                "the unet_res trunk only"
+            )
         return UNetP(
             n_channels=cfg.im_chan,
             n_classes=1,

@@ -86,7 +86,6 @@ def make_train_step(
     return train_step
 
 
-@functools.lru_cache(maxsize=32)
 def make_epoch_fn(model, tx: optax.GradientTransformation, *, loss_space: str = "logits", lanes: int = 1, donate: bool = True) -> Callable:
     """Build the jitted whole-epoch function.
 
@@ -95,12 +94,22 @@ def make_epoch_fn(model, tx: optax.GradientTransformation, *, loss_space: str = 
       The hebb trace is re-zeroed by the caller per epoch (train.py:88).
     Returns per-step losses (S,).
 
-    lru_cached on (model, tx, ...) — flax Modules hash by field values and
-    adam_step_lr returns a cached tx, so repeated driver invocations with
-    the same config reuse the SAME jit wrapper (and its traced executables)
-    instead of re-tracing every epoch graph (~seconds per invocation,
-    PERF.md round-3 e2e attribution).
+    Memoized on (model, tx, ..., patch_conv.gate_state()) — flax Modules
+    hash by field values and adam_step_lr returns a cached tx, so repeated
+    driver invocations with the same config reuse the SAME jit wrapper (and
+    its traced executables) instead of re-tracing every epoch graph
+    (~seconds per invocation, PERF.md round-3 e2e attribution). The
+    patch_conv experiment knobs are part of the key because they change
+    what tracing emits (a gate-sweep probe that flips a knob must re-trace,
+    not reuse the stale executable).
     """
+    from plastic_unet_tpu.ops.patch_conv import gate_state
+
+    return _make_epoch_fn_cached(model, tx, loss_space, lanes, donate, gate_state())
+
+
+@functools.lru_cache(maxsize=32)
+def _make_epoch_fn_cached(model, tx, loss_space, lanes, donate, _gates):
     step_fn = make_train_step(model, tx, loss_space=loss_space)
 
     def epoch(state: TrainState, X: jax.Array, Y: jax.Array, rng: jax.Array):
@@ -113,7 +122,6 @@ def make_epoch_fn(model, tx: optax.GradientTransformation, *, loss_space: str = 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
 
 
-@functools.lru_cache(maxsize=32)
 def make_multi_epoch_fn(
     model,
     tx: optax.GradientTransformation,
@@ -136,7 +144,18 @@ def make_multi_epoch_fn(
       the caller precomputes them in the exact key-derivation order of the
       one-epoch driver path, so the K-epoch dispatch is bit-identical to K
       single-epoch dispatches (pinned by tests/test_multi_epoch.py).
+
+    Memoized like make_epoch_fn, keyed on the patch_conv gate state.
     """
+    from plastic_unet_tpu.ops.patch_conv import gate_state
+
+    return _make_multi_epoch_fn_cached(
+        model, tx, loss_space, shuffle, augment, donate, gate_state()
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_multi_epoch_fn_cached(model, tx, loss_space, shuffle, augment, donate, _gates):
     step_fn = make_train_step(model, tx, loss_space=loss_space)
 
     def run(state: TrainState, X, Y, epoch_rngs, perm_keys, aug_keys):

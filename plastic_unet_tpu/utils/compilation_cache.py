@@ -30,6 +30,10 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
             return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0 (not the jax default 1.0): every MISS must write an entry so
+        # bench.py's _CacheProbe ("no new entry file => HIT") stays sound
+        # even for graphs that compile in under a second. The extra small
+        # entries are harmless; the big epoch graphs dominate the dir.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # cache is an optimization; never fail the run for it

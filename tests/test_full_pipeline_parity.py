@@ -44,6 +44,12 @@ def _stub_skimage():
 
     if "skimage" in sys.modules:
         return
+    try:
+        import skimage  # noqa: F401  (real package present — use it, don't shadow)
+
+        return
+    except ImportError:
+        pass
     root = types.ModuleType("skimage")
     for sub, names in {"io": ("imread", "imsave", "imshow", "concatenate_images"),
                        "transform": ("resize",), "morphology": ("label",)}.items():

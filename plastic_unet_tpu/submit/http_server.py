@@ -84,7 +84,10 @@ def build_parser():
     import argparse
 
     p = argparse.ArgumentParser(description="Serve plastic U-Net mask prediction over HTTP")
-    p.add_argument("--model", required=True, help=".pth checkpoint (reference format)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--model", help=".pth checkpoint (reference format)")
+    src.add_argument("--artifact", help="exported serving artifact directory "
+                     "(plastic-unet-export); ignores the model-shape/tta/threshold/chunk flags")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8600, type=int)
     p.add_argument("--nbf", default=101, type=int)
@@ -102,15 +105,21 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from plastic_unet_tpu.ops.augment import parse_tta
-    from plastic_unet_tpu.submit.server import MaskPredictor
     from plastic_unet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    predictor = MaskPredictor.from_pth(
-        args.model, nbf=args.nbf, neurons=args.neurons, rule=args.prule,
-        tta=parse_tta(args.tta), threshold=args.threshold, chunk=args.chunk,
-    )
+    if args.artifact:
+        from plastic_unet_tpu.submit.export import load_predictor
+
+        predictor = load_predictor(args.artifact)
+    else:
+        from plastic_unet_tpu.ops.augment import parse_tta
+        from plastic_unet_tpu.submit.server import MaskPredictor
+
+        predictor = MaskPredictor.from_pth(
+            args.model, nbf=args.nbf, neurons=args.neurons, rule=args.prule,
+            tta=parse_tta(args.tta), threshold=args.threshold, chunk=args.chunk,
+        )
     serve(predictor, args.host, args.port)
 
 

@@ -99,6 +99,15 @@ class UNetPRes(nn.Module):
                     f"trunk_pad requires square inputs, got {h0}x{w0}"
                 )
             if h0 < self.trunk_pad or w0 < self.trunk_pad:
+                # reflect padding requires per-side width < input size; the
+                # widest side pad_to emits is ceil((trunk_pad - h0)/2), so the
+                # largest legal target is 3*h0 - 2. Validate here for a clear
+                # error instead of an obscure XLA pad failure at trace time.
+                if self.trunk_pad > 3 * h0 - 2:
+                    raise ValueError(
+                        f"trunk_pad={self.trunk_pad} too large for {h0}x{w0} "
+                        f"input: reflect padding supports at most {3 * h0 - 2}"
+                    )
                 from plastic_unet_tpu.ops.augment import pad_to
 
                 x = pad_to(x, self.trunk_pad, mode="reflect")

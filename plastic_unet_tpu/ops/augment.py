@@ -103,6 +103,22 @@ def tta_merge(preds: jax.Array, transforms: Sequence[str] = ("identity", "hflip"
     return jnp.mean(jnp.stack(undone, axis=0), axis=0)
 
 
+def tta_batched_apply(forward, x: jax.Array, transforms: Sequence[str]) -> jax.Array:
+    """Fold the T TTA views into the batch axis of ONE forward and merge.
+
+    forward: (T*B, H, W, C) NHWC -> (T*B, nbf, nbf) masks. Exactly equal to T
+    per-view passes because eval-mode per-sample math is batch-position-
+    independent (no dropout, no cross-batch reductions) —
+    tests/test_augment.py::test_batched_views_tta_exact. The single source of
+    the fold/merge used by both predict_masks_tta(batch_views=True) and the
+    exported serving graph (submit/export.py)."""
+    n = x.shape[0]
+    allv = jnp.concatenate([TTA_TRANSFORMS[t][0](x, True) for t in transforms], axis=0)
+    preds = forward(allv)
+    stacked = preds.reshape((len(transforms), n) + preds.shape[1:])
+    return tta_merge(stacked, transforms, channels_last=False)
+
+
 # ---------------------------------------------------------------------------
 # Random train-time augmentation
 # ---------------------------------------------------------------------------

@@ -58,7 +58,7 @@ def _serving_fn(model, params, transforms: Sequence[str], threshold):
     binary masks when a threshold is baked. TTA views are folded into the
     batch axis of one forward (batch-position-independent in eval mode, so
     exactly equal to per-view passes)."""
-    from plastic_unet_tpu.ops.augment import TTA_TRANSFORMS, tta_merge
+    from plastic_unet_tpu.ops.augment import TTA_TRANSFORMS, tta_batched_apply
     from plastic_unet_tpu.submit.inference import threshold_as_f32
 
     transforms = tuple(transforms)
@@ -72,11 +72,12 @@ def _serving_fn(model, params, transforms: Sequence[str], threshold):
             hebb = model.initial_zero_hebb(x.shape[0], dtype=x.dtype)
             pred = model.apply({"params": params}, x, hebb, train=False).activout
         else:
-            n = x.shape[0]
-            allv = jnp.concatenate([TTA_TRANSFORMS[t][0](x, True) for t in transforms], axis=0)
-            hebb = model.initial_zero_hebb(allv.shape[0], dtype=allv.dtype)
-            preds = model.apply({"params": params}, allv, hebb, train=False).activout
-            pred = tta_merge(preds.reshape((len(transforms), n) + preds.shape[1:]), transforms, channels_last=False)
+
+            def fwd(allv):
+                hebb = model.initial_zero_hebb(allv.shape[0], dtype=allv.dtype)
+                return model.apply({"params": params}, allv, hebb, train=False).activout
+
+            pred = tta_batched_apply(fwd, x, transforms)
         if t32 is not None:
             return (pred > t32).astype(jnp.uint8)
         return pred
@@ -150,7 +151,11 @@ class ExportedPredictor:
 
     def warmup(self) -> "ExportedPredictor":
         """Compile the deserialized module ahead of the first request."""
-        self.predict(np.zeros((1, self.meta["height"], self.meta["width"]), np.float32))
+        self.predict(
+            np.zeros(
+                (1, self.meta["height"], self.meta["width"], self.meta["channels"]), np.float32
+            )
+        )
         return self
 
     def predict(self, images: np.ndarray) -> np.ndarray:

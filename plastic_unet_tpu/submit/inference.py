@@ -65,11 +65,11 @@ def predict_masks_tta(
         return predict_masks(model, params, X, chunk=chunk, mesh=mesh)
     X = jnp.asarray(X)
     if batch_views:
-        n = X.shape[0]
-        allv = jnp.concatenate([TTA_TRANSFORMS[t][0](X, True) for t in transforms], axis=0)
-        preds = predict_masks(model, params, allv, chunk=chunk, mesh=mesh)
-        stacked = preds.reshape((len(transforms), n) + preds.shape[1:])
-        return tta_merge(stacked, transforms, channels_last=False)
+        from plastic_unet_tpu.ops.augment import tta_batched_apply
+
+        return tta_batched_apply(
+            lambda allv: predict_masks(model, params, allv, chunk=chunk, mesh=mesh), X, transforms
+        )
     views = []
     for t in transforms:
         fwd, _ = TTA_TRANSFORMS[t]

@@ -63,7 +63,7 @@ class MaskPredictor:
     def predict(self, images: np.ndarray) -> np.ndarray:
         """images: (N, H, W) or (N, H, W, 1) float -> (N, nbf, nbf) sigmoid
         masks (or binary masks if a threshold is configured)."""
-        from plastic_unet_tpu.submit.inference import predict_masks_tta
+        from plastic_unet_tpu.submit.inference import predict_masks_tta, threshold_as_f32
 
         x = np.asarray(images, np.float32)
         if x.ndim == 3:
@@ -72,16 +72,19 @@ class MaskPredictor:
             predict_masks_tta(self.model, self.params, jnp.asarray(x), transforms=self.tta, chunk=self.chunk)
         )
         if self.threshold is not None:
-            return preds > self.threshold
+            # f64-exact compare (matches submit.inference.predict and exported
+            # artifacts — a p == f32(threshold) pixel classifies identically).
+            return preds > threshold_as_f32(float(self.threshold))
         return preds
 
     def predict_rle(self, images: np.ndarray, threshold: float | None = None) -> list[str]:
         """Predict and RLE-encode (submission-format strings)."""
         from plastic_unet_tpu.ops.rle import encode_batch
+        from plastic_unet_tpu.submit.inference import threshold_as_f32
 
         thr = self.threshold if threshold is None else threshold
         if thr is None:
             raise ValueError("predict_rle requires a threshold")
         preds = self.predict(images)
-        masks = preds if preds.dtype == bool else preds > thr
+        masks = preds if preds.dtype == bool else preds > threshold_as_f32(float(thr))
         return encode_batch(masks.astype(np.uint8))

@@ -12,6 +12,34 @@ import os
 _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "plastic_unet_tpu_xla")
 
 
+def _backend_is_cpu() -> bool:
+    """Decide the platform WITHOUT initializing a backend.
+
+    jax.default_backend() force-initializes the default backend as a side
+    effect — fatal for a config-only helper: a caller that invokes this
+    before setting jax_platforms would lock in the axon TPU backend and
+    claim the single-client relay (CLAUDE.md). Read the config/env that the
+    repo's CPU-forcing paths set; only fall back to a live query when a
+    backend already exists (then querying is side-effect-free)."""
+    import jax
+
+    platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+        "PLASTIC_UNET_PLATFORM", ""
+    )
+    if platforms:
+        return platforms.split(",")[0].strip().lower() == "cpu"
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge._backends:  # already initialized elsewhere
+            return jax.default_backend() == "cpu"
+    except Exception:
+        pass
+    # Config silent and no backend yet: do NOT initialize one just to decide.
+    # This environment's silent default is the axon TPU — treat as accelerator.
+    return False
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Enable the on-disk cache — accelerator backends only.
 
@@ -26,7 +54,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
 
     path = cache_dir or os.environ.get("PLASTIC_UNET_XLA_CACHE", _DEFAULT_DIR)
     try:
-        if jax.default_backend() == "cpu" and not os.environ.get("PLASTIC_UNET_FORCE_CPU_CACHE"):
+        if _backend_is_cpu() and not os.environ.get("PLASTIC_UNET_FORCE_CPU_CACHE"):
             return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -18,9 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # test batches once corrupted an entry there, and a later cache READ
 # segfaulted the whole suite (jax compilation_cache.get_executable_and_time).
 # A per-session temp dir keeps tests self-contained and the real cache clean.
+import atexit
+import shutil
 import tempfile
 
-os.environ["PLASTIC_UNET_XLA_CACHE"] = tempfile.mkdtemp(prefix="plastic_unet_test_xla_")
+_test_xla_cache_dir = tempfile.mkdtemp(prefix="plastic_unet_test_xla_")
+os.environ["PLASTIC_UNET_XLA_CACHE"] = _test_xla_cache_dir
+atexit.register(shutil.rmtree, _test_xla_cache_dir, ignore_errors=True)
 
 import jax  # noqa: E402
 

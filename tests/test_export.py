@@ -153,3 +153,16 @@ def test_serve_from_artifact(model_params, tmp_path, rng):
             assert json.loads(r.read()) == predictor.predict_rle(imgs)
     finally:
         srv.shutdown()
+
+
+def test_multichannel_warmup(tmp_path, rng):
+    """warmup() on a multi-channel artifact builds a correctly-shaped dummy
+    batch (a single-channel hardcode would raise at serve() startup)."""
+    model = UNetPRes(nbf=SIZE, neurons=2, n_channels=3)
+    vs = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), model.initial_zero_hebb(1)
+    )
+    path = export_predictor(model, vs["params"], str(tmp_path / "art3c"), chunk=2)
+    pred = load_predictor(path).warmup()
+    out = pred.predict(rng.standard_normal((3, SIZE, SIZE, 3)).astype(np.float32))
+    assert out.shape == (3, SIZE, SIZE)

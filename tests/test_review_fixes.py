@@ -94,7 +94,7 @@ def test_epoch_fn_cache_keys_on_patch_conv_gates():
     from plastic_unet_tpu.train.optimizer import adam_step_lr
 
     model = UNetPRes(n_channels=1, n_classes=1, neurons=2, nbf=16, patch_conv=32)
-    tx = adam_step_lr(3e-4, 1e5, 0.666)
+    tx = adam_step_lr(3e-4, 0.666, 1e5)
 
     f1 = make_epoch_fn(model, tx)
     assert make_epoch_fn(model, tx) is f1  # same gates -> memoized
@@ -107,3 +107,24 @@ def test_epoch_fn_cache_keys_on_patch_conv_gates():
     finally:
         patch_conv.TAP_WIDE = orig
     assert make_epoch_fn(model, tx) is f1  # restored -> memoized again
+
+
+def test_backend_is_cpu_does_not_initialize_backend(monkeypatch):
+    """enable_compilation_cache's platform check must stay config-only: it
+    reads jax_platforms / PLASTIC_UNET_PLATFORM instead of calling
+    jax.default_backend() (which would lock in the default backend — and in
+    production claim the single-client TPU relay — before callers can force
+    CPU)."""
+    import jax
+
+    from plastic_unet_tpu.utils.compilation_cache import _backend_is_cpu
+
+    # Under the test conftest jax_platforms is forced to "cpu".
+    assert _backend_is_cpu() is True
+
+    # Must never consult default_backend() when the config answers.
+    def _boom():
+        raise AssertionError("default_backend() initializes a backend")
+
+    monkeypatch.setattr(jax, "default_backend", _boom)
+    assert _backend_is_cpu() is True

@@ -58,3 +58,30 @@ def test_tta_predictor(rng):
     pred = MaskPredictor(model, params, chunk=4, tta=("identity", "hflip"))
     out = pred.predict(rng.standard_normal((2, SIZE, SIZE)).astype(np.float32))
     assert out.shape == (2, SIZE, SIZE)
+
+
+def test_threshold_f64_exact(monkeypatch, rng):
+    """The live server binarizes with the same f64-exact compare as
+    submit.inference.predict and exported artifacts: a pixel equal to
+    np.float32(0.3) classifies as 1 (0.3's round-nearest f32 is ABOVE the
+    true 0.3, so a plain f32 `> 0.3` compare would call it 0)."""
+    import importlib
+
+    # attribute access resolves to the re-exported inference() function, not
+    # the submodule — go through importlib for the module object
+    inf = importlib.import_module("plastic_unet_tpu.submit.inference")
+
+    model, params = _params()
+    boundary = np.float32(0.3)
+    fixed = np.full((2, SIZE, SIZE), 0.1, np.float32)
+    fixed[0] = boundary
+    monkeypatch.setattr(inf, "predict_masks_tta", lambda *a, **k: fixed)
+
+    pred = MaskPredictor(model, params, threshold=0.3)
+    out = pred.predict(np.zeros((2, SIZE, SIZE), np.float32))
+    assert out.dtype == bool
+    assert out[0].all()  # p == f32(0.3) > threshold under f64 semantics
+    assert not out[1].any()
+    # predict_rle's explicit-threshold path uses the same compare
+    rles = pred.predict_rle(np.zeros((2, SIZE, SIZE), np.float32), threshold=0.3)
+    assert rles[0] == f"1 {SIZE * SIZE}" and rles[1] == ""

@@ -89,3 +89,18 @@ def test_padded_training_through_driver(tmp_path):
     assert os.path.exists(str(tmp_path / "pad" / "train_data.hdf5"))
     # padded-mode losses actually move (training is live, not a constant fn)
     assert res.all_losses[0] != res.all_losses[-1]
+
+
+def test_trunk_pad_too_large_for_reflect_raises():
+    """reflect padding needs per-side width < input size: trunk_pad beyond
+    3*h-2 raises a clear ValueError instead of an obscure XLA pad error."""
+    import jax
+    import jax.numpy as jnp
+
+    from plastic_unet_tpu.models import UNetPRes
+
+    model = UNetPRes(nbf=16, neurons=2, trunk_pad=128)
+    with pytest.raises(ValueError, match="too large"):
+        model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), model.initial_zero_hebb(1)
+        )

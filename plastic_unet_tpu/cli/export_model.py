@@ -33,6 +33,11 @@ def build_parser():
     p.add_argument("--chunk", default=128, type=int, help="static serving batch size")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma list of jax.export lowering platforms")
+    p.add_argument("--data-devices", default=1, type=int, metavar="N",
+                   help="export the DP-sharded serving graph for an N-device "
+                        "('data',) mesh (requires N local devices at export "
+                        "time and exactly N at the serving site; chunk must "
+                        "divide by N)")
     return p
 
 
@@ -54,6 +59,7 @@ def main(argv=None):
         tta=parse_tta(args.tta),
         threshold=args.threshold,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
+        data_devices=args.data_devices,
     )
     print("Exported serving artifact to:", path)
 

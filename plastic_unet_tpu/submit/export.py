@@ -20,6 +20,14 @@ Design:
   * Multi-platform lowering (default cpu+tpu): the same bytes run on a CPU
     box or a TPU host; `jax.export` verifies platform compatibility at call
     time.
+  * Optional DP-sharded export (data_devices=N): the chunk's batch axis is
+    partitioned over an N-device ('data',) mesh — multi-chip serving from
+    one bundle (the loader rebuilds the mesh and device_puts each chunk;
+    jax.export enforces the device count). Zero-trace inference needs no
+    collectives, so the sharded graph is pure batch partitioning — equal to
+    the single-device artifact to 1 ULP (the partitioned per-device batch
+    shape changes XLA's fusion/tiling; measured 6e-8 on <0.1% of pixels,
+    tests/test_export.py::test_sharded_artifact_exact).
   * Numerics: the plain forward reloads bit-exact vs the live serving path
     (tests/test_export.py::test_roundtrip_exact); the fused TTA graph can
     differ by 1 ULP after recompilation from serialized StableHLO (XLA may
@@ -94,6 +102,7 @@ def export_predictor(
     tta: Sequence[str] = ("identity",),
     threshold: float | None = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    data_devices: int = 1,
 ) -> str:
     """Serialize the serving forward to a self-contained artifact directory.
 
@@ -105,13 +114,39 @@ def export_predictor(
     f64-exact f32 compare (submit.inference.threshold_as_f32).
     platforms: jax.export lowering platforms; the artifact runs on any of
     them. Returns `path`.
+    data_devices: export the DP-sharded serving graph for an N-device
+    ('data',) mesh — each chunk's batch axis is partitioned across devices,
+    params replicated (the TPU-native analogue of multi-GPU serving; the
+    zero-trace forward needs no collectives). Requires N local devices at
+    export time (virtual CPU devices work: the StableHLO is topology-
+    portable across the lowering platforms) and exactly N at the deployment
+    site — jax.export enforces the device count at call time.
     """
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
     fn = _serving_fn(model, params, tta, threshold)
     h = w = model.nbf
     spec = jax.ShapeDtypeStruct((chunk, h, w, model.n_channels), jnp.float32)
-    exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(spec)
+    if data_devices > 1:
+        if chunk % data_devices:
+            raise ValueError(
+                f"chunk ({chunk}) must be divisible by data_devices ({data_devices})"
+            )
+        devs = jax.devices()
+        if len(devs) < data_devices:
+            raise ValueError(
+                f"data_devices={data_devices} but only {len(devs)} local devices "
+                "are visible at export time (use virtual CPU devices: "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+            )
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.array(devs[:data_devices]), ("data",))
+        shard = NamedSharding(mesh, PartitionSpec("data"))
+        jit_fn = jax.jit(fn, in_shardings=shard, out_shardings=shard)
+    else:
+        jit_fn = jax.jit(fn)
+    exported = jexport.export(jit_fn, platforms=tuple(platforms))(spec)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _ARTIFACT_BIN), "wb") as f:
         f.write(exported.serialize())
@@ -125,6 +160,7 @@ def export_predictor(
         "threshold": None if threshold is None else float(threshold),
         "output_dtype": "uint8" if threshold is not None else "float32",
         "platforms": list(platforms),
+        "data_devices": int(data_devices),
         "model": type(model).__name__,
         "rule": getattr(model, "rule", None),
         "neurons": getattr(model, "neurons", None),
@@ -148,6 +184,19 @@ class ExportedPredictor:
         self.chunk = int(meta["chunk"])
         self.threshold = meta.get("threshold")
         self._call = jax.jit(exported.call)
+        self._sharding = None
+        n_dev = int(meta.get("data_devices", 1))
+        if n_dev > 1:
+            devs = jax.devices()
+            if len(devs) < n_dev:
+                raise ValueError(
+                    f"artifact was exported for {n_dev} devices; only "
+                    f"{len(devs)} are visible"
+                )
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.array(devs[:n_dev]), ("data",))
+            self._sharding = NamedSharding(mesh, PartitionSpec("data"))
 
     def warmup(self) -> "ExportedPredictor":
         """Compile the deserialized module ahead of the first request."""
@@ -171,7 +220,12 @@ class ExportedPredictor:
         pad = (-n) % self.chunk
         if pad:
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.float32)], axis=0)
-        outs = [self._call(x[i : i + self.chunk]) for i in range(0, x.shape[0], self.chunk)]
+        chunks = [x[i : i + self.chunk] for i in range(0, x.shape[0], self.chunk)]
+        if self._sharding is not None:
+            # sharded artifacts must be called with batch-partitioned inputs
+            # (jax.export enforces the exported device count at call time)
+            chunks = [jax.device_put(c, self._sharding) for c in chunks]
+        outs = [self._call(c) for c in chunks]
         return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
 
     def predict_rle(self, images: np.ndarray, threshold: float | None = None) -> list:

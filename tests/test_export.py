@@ -166,3 +166,38 @@ def test_multichannel_warmup(tmp_path, rng):
     pred = load_predictor(path).warmup()
     out = pred.predict(rng.standard_normal((3, SIZE, SIZE, 3)).astype(np.float32))
     assert out.shape == (3, SIZE, SIZE)
+
+
+def test_sharded_artifact_exact(model_params, tmp_path, rng):
+    """A DP-sharded artifact (data_devices=4 over the virtual CPU mesh)
+    reloads, partitions each chunk's batch axis across devices, and matches
+    the single-device artifact to 1 ULP — zero-trace serving is pure batch
+    partitioning (no collectives), but the partitioned executable's
+    per-device batch shape changes XLA's fusion/tiling, so isolated sigmoid
+    pixels can differ by one ULP (measured 6e-8 on <0.1% of pixels)."""
+    model, params = model_params
+    p1 = export_predictor(model, params, str(tmp_path / "art1"), chunk=4)
+    p4 = export_predictor(model, params, str(tmp_path / "art4"), chunk=4, data_devices=4)
+    meta = json.load(open(p4 + "/meta.json"))
+    assert meta["data_devices"] == 4
+
+    a1 = load_predictor(p1)
+    a4 = load_predictor(p4).warmup()
+    X = rng.standard_normal((10, SIZE, SIZE, 1)).astype(np.float32)  # partial chunk
+    got, want = a4.predict(X), a1.predict(X)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1.5e-7)
+
+    # live-path agreement at the same tolerance
+    live = np.asarray(predict_masks_tta(model, params, X, chunk=4))
+    np.testing.assert_allclose(got, live, rtol=0, atol=1.5e-7)
+
+
+def test_sharded_artifact_validation(model_params, tmp_path):
+    """chunk must divide by data_devices; oversubscribed exports fail with a
+    clear error instead of an XLA mesh failure."""
+    model, params = model_params
+    with pytest.raises(ValueError, match="divisible by data_devices"):
+        export_predictor(model, params, str(tmp_path / "bad"), chunk=6, data_devices=4)
+    with pytest.raises(ValueError, match="local devices"):
+        export_predictor(model, params, str(tmp_path / "bad2"), chunk=16, data_devices=16)

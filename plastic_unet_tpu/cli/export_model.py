@@ -33,6 +33,11 @@ def build_parser():
     p.add_argument("--chunk", default=128, type=int, help="static serving batch size")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma list of jax.export lowering platforms")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bake a mixed-precision serving graph (bf16 trunk "
+                        "matmuls on the MXU — the measured serving win in "
+                        "PERF.md; unet_res only)")
     p.add_argument("--data-devices", default=1, type=int, metavar="N",
                    help="export the DP-sharded serving graph for an N-device "
                         "('data',) mesh (requires N local devices at export "
@@ -48,8 +53,11 @@ def main(argv=None):
     from plastic_unet_tpu.submit.export import export_predictor
     from plastic_unet_tpu.submit.server import MaskPredictor
 
+    import jax.numpy as jnp
+
     pred = MaskPredictor.from_pth(
-        args.model, arch=args.arch, nbf=args.nbf, neurons=args.neurons, rule=args.prule
+        args.model, arch=args.arch, nbf=args.nbf, neurons=args.neurons, rule=args.prule,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else None,
     )
     path = export_predictor(
         pred.model,

@@ -162,6 +162,11 @@ def export_predictor(
         "platforms": list(platforms),
         "data_devices": int(data_devices),
         "model": type(model).__name__,
+        # mixed-precision serving graphs (bf16 trunk matmuls) are baked into
+        # the StableHLO; recorded so the deployment site knows what it runs
+        "compute_dtype": (jnp.dtype(model.compute_dtype).name
+                          if getattr(model, "compute_dtype", None) is not None
+                          else "float32"),
         "rule": getattr(model, "rule", None),
         "neurons": getattr(model, "neurons", None),
         "nbf": int(model.nbf),

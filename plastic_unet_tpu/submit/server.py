@@ -39,15 +39,22 @@ class MaskPredictor:
 
     @classmethod
     def from_pth(cls, path: str, *, arch: str = "unet_res", nbf: int = 101, neurons: int = 16,
-                 rule: str = "hebb", **kw) -> "MaskPredictor":
-        """Load a reference-format .pth checkpoint."""
+                 rule: str = "hebb", compute_dtype=None, **kw) -> "MaskPredictor":
+        """Load a reference-format .pth checkpoint.
+
+        compute_dtype: e.g. jnp.bfloat16 for MXU-native mixed-precision
+        serving (params stay fp32; trunk matmuls run bf16 — the measured
+        serving win in PERF.md). unet_res only."""
         from plastic_unet_tpu.models import UNetP, UNetPRes
         from plastic_unet_tpu.utils import torch_interop as ti
 
         if arch == "unet_res":
-            model = UNetPRes(n_channels=1, n_classes=1, nbf=nbf, neurons=neurons, rule=rule)
+            model = UNetPRes(n_channels=1, n_classes=1, nbf=nbf, neurons=neurons, rule=rule,
+                             compute_dtype=compute_dtype)
             params = ti.state_dict_to_flax_params(ti.load_pth(path), ti.unetp_res_name_map())
         else:
+            if compute_dtype is not None and compute_dtype != jnp.float32:
+                raise ValueError("compute_dtype is a unet_res-only knob (arch='unet' is fp32)")
             model = UNetP(n_channels=1, n_classes=1, nbf=nbf, rule=rule)
             params = ti.state_dict_to_flax_params(ti.load_pth(path), ti.unetp_name_map())
         return cls(model, params, **kw)

@@ -201,3 +201,33 @@ def test_sharded_artifact_validation(model_params, tmp_path):
         export_predictor(model, params, str(tmp_path / "bad"), chunk=6, data_devices=4)
     with pytest.raises(ValueError, match="local devices"):
         export_predictor(model, params, str(tmp_path / "bad2"), chunk=16, data_devices=16)
+
+
+def test_bf16_artifact(model_params, tmp_path, rng):
+    """A mixed-precision artifact (bf16 trunk matmuls baked into the
+    StableHLO) reloads bit-equal to the live bf16 serving forward, records
+    compute_dtype in the manifest, and tracks the fp32 path within bf16
+    resolution."""
+    model, params = model_params
+    bf16 = UNetPRes(nbf=SIZE, neurons=2, compute_dtype=jnp.bfloat16)
+    path = export_predictor(bf16, params, str(tmp_path / "art_bf16"), chunk=4)
+    assert json.load(open(path + "/meta.json"))["compute_dtype"] == "bfloat16"
+
+    pred = load_predictor(path).warmup()
+    X = rng.standard_normal((6, SIZE, SIZE, 1)).astype(np.float32)
+    got = pred.predict(X)
+    assert got.dtype == np.float32  # sigmoid output stays f32
+    live = np.asarray(predict_masks_tta(bf16, params, X, chunk=4))
+    np.testing.assert_array_equal(got, live)
+
+    f32 = np.asarray(predict_masks_tta(model, params, X, chunk=4))
+    np.testing.assert_allclose(got, f32, rtol=0, atol=2e-2)
+
+
+def test_bf16_from_pth_rejected_for_classic_arch(tmp_path):
+    """compute_dtype is a unet_res-only knob; the classic arch fails fast."""
+    from plastic_unet_tpu.submit.server import MaskPredictor
+
+    with pytest.raises(ValueError, match="unet_res-only"):
+        MaskPredictor.from_pth(str(tmp_path / "x.pth"), arch="unet",
+                               compute_dtype=jnp.bfloat16)

@@ -241,6 +241,44 @@ def bench_infer_tta(n_infer: int, compute_dtype=None, transforms=("identity", "h
     return n_infer / dt, mfu
 
 
+def bench_artifact_serving(n_infer: int):
+    """Deployment-path serving: export the flagship bf16 2-view-TTA serving
+    graph to a StableHLO artifact (submit/export.py), reload it, and time
+    chunked numpy-in/numpy-out predict — the number a `plastic-unet-export`
+    bundle actually serves at. Unlike the on-device bench_infer_tta, every
+    chunk pays host staging + relay readback, so the gap to
+    infer_tta_bf16_images_per_sec bounds the deployment tax."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from plastic_unet_tpu.data.synthetic import synthetic_tiles
+    from plastic_unet_tpu.models import UNetPRes
+    from plastic_unet_tpu.submit.export import export_predictor, load_predictor
+
+    model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16,
+                     compute_dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 101, 101, 1))
+    params = model.init(jax.random.PRNGKey(0), x0, model.initial_zero_hebb(1))["params"]
+    timgs, _ = synthetic_tiles(n_infer, size=101, seed=3)
+    X = np.ascontiguousarray(np.transpose(timgs, (0, 2, 3, 1)).astype(np.float32))
+    td = tempfile.mkdtemp(prefix="bench_artifact_")
+    try:
+        path = export_predictor(model, params, td + "/art", chunk=128,
+                                tta=("identity", "hflip"))
+        pred = load_predictor(path).warmup()
+        pred.predict(X[:256])  # warm the chunked-predict loop
+        t0 = time.time()
+        out = pred.predict(X)
+        dt = time.time() - t0
+        assert out.shape[0] == n_infer
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return n_infer / dt
+
+
 def bench_e2e_tuned_run(train_samples: int, epochs: int, n_test: int):
     """BASELINE.json config #5 as ONE measured number (VERDICT r02 item 4):
     the tuned_run-shaped pipeline — augmented+shuffled training through the
@@ -365,6 +403,11 @@ def main():
 
     infer_tta8_ips, infer_tta8_mfu = bench_infer_tta(n_infer, compute_dtype=jnp.bfloat16,
                                                      transforms=TTA_VIEWS_8)
+    artifact_ips, artifact_error = None, None
+    try:
+        artifact_ips = bench_artifact_serving(min(n_infer, 2048))
+    except Exception as e:
+        artifact_error = f"{type(e).__name__}: {e}"
     vanilla_ips = bench_vanilla_forward(min(n_infer, 256))
     oja_ips = bench_oja_epoch_with_eval(min(max(steps // 2, 64), 512))
     coord_ips, _, _ = bench_train(lanes=8, steps=32, coord_conv=True)
@@ -404,6 +447,8 @@ def main():
         "e2e_tuned_run_images_per_sec": round(e2e_ips, 1) if e2e_ips else None,
         "e2e_tuned_run_seconds": round(e2e_secs, 1) if e2e_secs else None,
         "e2e_tuned_run_error": e2e_error,
+        "artifact_infer_bf16_images_per_sec": round(artifact_ips, 1) if artifact_ips else None,
+        "artifact_infer_error": artifact_error,
         "vanilla_forward_images_per_sec": round(vanilla_ips, 1),
         "oja_epoch_with_eval_images_per_sec": round(oja_ips, 1),
         "coordconv_plastic_train_images_per_sec": round(coord_ips, 1),

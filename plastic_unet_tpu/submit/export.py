@@ -59,6 +59,23 @@ _ARTIFACT_META = "meta.json"
 _FORMAT_VERSION = 1
 
 
+def _data_sharding(n_dev: int, site: str):
+    """NamedSharding partitioning the batch axis over the first n_dev local
+    devices as a ('data',) mesh — shared by export (graph partitioning) and
+    the loader (chunk placement) so both sides agree on the mesh layout."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        raise ValueError(
+            f"{site}: {n_dev} devices required but only {len(devs)} local devices "
+            "are visible (use virtual CPU devices: "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
+    mesh = Mesh(np.array(devs[:n_dev]), ("data",))
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
 def _serving_fn(model, params, transforms: Sequence[str], threshold):
     """Build the jittable serving step for export.
 
@@ -124,6 +141,8 @@ def export_predictor(
     """
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
+    if data_devices < 1:
+        raise ValueError(f"data_devices must be >= 1, got {data_devices}")
     fn = _serving_fn(model, params, tta, threshold)
     h = w = model.nbf
     spec = jax.ShapeDtypeStruct((chunk, h, w, model.n_channels), jnp.float32)
@@ -132,17 +151,7 @@ def export_predictor(
             raise ValueError(
                 f"chunk ({chunk}) must be divisible by data_devices ({data_devices})"
             )
-        devs = jax.devices()
-        if len(devs) < data_devices:
-            raise ValueError(
-                f"data_devices={data_devices} but only {len(devs)} local devices "
-                "are visible at export time (use virtual CPU devices: "
-                "XLA_FLAGS=--xla_force_host_platform_device_count=N)"
-            )
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
-        mesh = Mesh(np.array(devs[:data_devices]), ("data",))
-        shard = NamedSharding(mesh, PartitionSpec("data"))
+        shard = _data_sharding(data_devices, f"export with data_devices={data_devices}")
         jit_fn = jax.jit(fn, in_shardings=shard, out_shardings=shard)
     else:
         jit_fn = jax.jit(fn)
@@ -192,16 +201,7 @@ class ExportedPredictor:
         self._sharding = None
         n_dev = int(meta.get("data_devices", 1))
         if n_dev > 1:
-            devs = jax.devices()
-            if len(devs) < n_dev:
-                raise ValueError(
-                    f"artifact was exported for {n_dev} devices; only "
-                    f"{len(devs)} are visible"
-                )
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
-            mesh = Mesh(np.array(devs[:n_dev]), ("data",))
-            self._sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self._sharding = _data_sharding(n_dev, f"artifact exported for {n_dev} devices")
 
     def warmup(self) -> "ExportedPredictor":
         """Compile the deserialized module ahead of the first request."""
@@ -225,12 +225,16 @@ class ExportedPredictor:
         pad = (-n) % self.chunk
         if pad:
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.float32)], axis=0)
-        chunks = [x[i : i + self.chunk] for i in range(0, x.shape[0], self.chunk)]
-        if self._sharding is not None:
-            # sharded artifacts must be called with batch-partitioned inputs
-            # (jax.export enforces the exported device count at call time)
-            chunks = [jax.device_put(c, self._sharding) for c in chunks]
-        outs = [self._call(c) for c in chunks]
+        outs = []
+        for i in range(0, x.shape[0], self.chunk):
+            c = x[i : i + self.chunk]
+            if self._sharding is not None:
+                # sharded artifacts must be called with batch-partitioned
+                # inputs (jax.export enforces the exported device count);
+                # placed one chunk at a time so peak device memory stays
+                # O(chunk), not O(total batch)
+                c = jax.device_put(c, self._sharding)
+            outs.append(self._call(c))
         return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
 
     def predict_rle(self, images: np.ndarray, threshold: float | None = None) -> list:

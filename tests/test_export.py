@@ -231,3 +231,41 @@ def test_bf16_from_pth_rejected_for_classic_arch(tmp_path):
     with pytest.raises(ValueError, match="unet_res-only"):
         MaskPredictor.from_pth(str(tmp_path / "x.pth"), arch="unet",
                                compute_dtype=jnp.bfloat16)
+
+
+def test_cli_export_new_flags(model_params, tmp_path, rng):
+    """--compute-dtype bfloat16 + --data-devices 2 plumb through the parser:
+    the manifest records both, and the artifact predicts through the sharded
+    bf16 graph."""
+    pytest.importorskip("torch")
+    from plastic_unet_tpu.cli.export_model import main
+    from plastic_unet_tpu.utils.torch_interop import (
+        flax_params_to_state_dict,
+        save_pth,
+        unetp_res_name_map,
+    )
+
+    _, params = model_params
+    pth = str(tmp_path / "m.pth")
+    save_pth(flax_params_to_state_dict(params, unetp_res_name_map()), pth)
+    out = str(tmp_path / "artifact")
+    main(["--model", pth, "--out", out, "--nbf", str(SIZE), "--neurons", "2",
+          "--chunk", "4", "--platforms", "cpu",
+          "--compute-dtype", "bfloat16", "--data-devices", "2"])
+    meta = json.load(open(out + "/meta.json"))
+    assert meta["compute_dtype"] == "bfloat16"
+    assert meta["data_devices"] == 2
+
+    bf16 = UNetPRes(nbf=SIZE, neurons=2, compute_dtype=jnp.bfloat16)
+    X = rng.standard_normal((3, SIZE, SIZE, 1)).astype(np.float32)
+    got = load_predictor(out).predict(X)
+    want = np.asarray(predict_masks_tta(bf16, params, X, chunk=4))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1.5e-7)
+
+
+def test_export_rejects_nonpositive_data_devices(model_params, tmp_path):
+    """data_devices=0 must not silently export a single-device graph while
+    recording a 0-device manifest."""
+    model, params = model_params
+    with pytest.raises(ValueError, match="data_devices must be >= 1"):
+        export_predictor(model, params, str(tmp_path / "bad"), data_devices=0)

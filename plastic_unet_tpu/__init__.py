@@ -34,6 +34,20 @@ if _os.environ.get("PLASTIC_UNET_PLATFORM"):
     try:
         import jax as _jax
 
+        # jax.config.update silently no-ops (no exception) once a backend is
+        # initialized — exactly the hazard this knob guards against. Detect
+        # that case explicitly (same already-initialized probe as
+        # utils.compilation_cache._backend_is_cpu) and route it through the
+        # loud warning below instead of pretending the force took effect.
+        from jax._src import xla_bridge as _xb
+
+        _want = _os.environ["PLASTIC_UNET_PLATFORM"].split(",")[0].strip().lower()
+        if _xb._backends and _jax.default_backend() != _want:
+            raise RuntimeError(
+                f"a {_jax.default_backend()!r} backend was already initialized "
+                "before `import plastic_unet_tpu`; jax_platforms can no longer "
+                "be changed in this process"
+            )
         _jax.config.update("jax_platforms", _os.environ["PLASTIC_UNET_PLATFORM"])
     except Exception as _e:
         # Do NOT swallow silently: a failed force leaves the process on the

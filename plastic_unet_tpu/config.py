@@ -35,7 +35,9 @@ class TrainConfig:
     im_chan: int = 1
 
     # --- model family / architecture ---
-    arch: str = "unet_res"  # 'unet_res' | 'unet' | 'coord_conv'
+    arch: str = "unet_res"  # 'unet_res' | 'unet' (the CoordConv Keras-path
+    # model has its own trainer with Keras fit semantics — train.coord_trainer
+    # / cli.coord_conv — and is not selected through this driver config)
     neurons: int = 16
     dropout_ratio: float = 0.5
     alfa_type: str = "free"

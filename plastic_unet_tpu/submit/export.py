@@ -225,17 +225,26 @@ class ExportedPredictor:
         pad = (-n) % self.chunk
         if pad:
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.float32)], axis=0)
+        # Outputs are pulled to host INSIDE the loop (device residency really
+        # is O(chunk), not O(total batch) — a large N on a small deployment
+        # device must not OOM on accumulated results). One chunk is kept in
+        # flight: chunk i+1 is dispatched before chunk i's readback, so the
+        # host transfer overlaps the next chunk's compute.
         outs = []
+        pending = None
         for i in range(0, x.shape[0], self.chunk):
             c = x[i : i + self.chunk]
             if self._sharding is not None:
                 # sharded artifacts must be called with batch-partitioned
-                # inputs (jax.export enforces the exported device count);
-                # placed one chunk at a time so peak device memory stays
-                # O(chunk), not O(total batch)
+                # inputs (jax.export enforces the exported device count)
                 c = jax.device_put(c, self._sharding)
-            outs.append(self._call(c))
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
+            nxt = self._call(c)
+            if pending is not None:
+                outs.append(np.asarray(pending))
+            pending = nxt
+        if pending is not None:
+            outs.append(np.asarray(pending))
+        return np.concatenate(outs, axis=0)[:n]
 
     def predict_rle(self, images: np.ndarray, threshold: float | None = None) -> list:
         """Predict and RLE-encode (submission-format strings). Thresholded

@@ -87,7 +87,8 @@ def build_parser():
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--model", help=".pth checkpoint (reference format)")
     src.add_argument("--artifact", help="exported serving artifact directory "
-                     "(plastic-unet-export); ignores the model-shape/tta/threshold/chunk flags")
+                     "(plastic-unet-export); the model-shape/tta/threshold/chunk "
+                     "flags are baked into the artifact and rejected here")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8600, type=int)
     p.add_argument("--nbf", default=101, type=int)
@@ -103,7 +104,21 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.artifact:
+        # Model-configuration flags are baked into the artifact at export
+        # time; silently ignoring an explicit --threshold/--tta/... would
+        # serve something other than what the user asked for (e.g.
+        # probability masks when they expected binary). Reject instead.
+        baked = ("tta", "threshold", "chunk", "nbf", "neurons", "prule")
+        passed = [f for f in baked if getattr(args, f) != parser.get_default(f)]
+        if passed:
+            parser.error(
+                "--artifact serves the exported configuration; "
+                + ", ".join("--" + f for f in passed)
+                + " cannot be overridden (re-export with plastic-unet-export)"
+            )
 
     from plastic_unet_tpu.utils import enable_compilation_cache
 

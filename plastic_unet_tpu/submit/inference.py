@@ -84,7 +84,17 @@ def threshold_as_f32(t: float) -> np.float32:
     lies in (t32, t], so the classified sets are identical). Thresholds from
     score_model_best_iou are already exact f32 (the grid is f32) and pass
     through unchanged; --fixed-threshold can be any float64 (e.g. 0.3, whose
-    round-nearest f32 is ABOVE it and would misclassify p == f32(0.3))."""
+    round-nearest f32 is ABOVE it and would misclassify p == f32(0.3)).
+
+    NEP-50 caveat (documented deviation, PARITY.md): under numpy >= 2.0 the
+    reference's own `pred > mask_threshold` (infer.py:99) no longer promotes
+    to float64 — NEP 50 converts the python-float scalar to f32 ROUND-NEAREST
+    before comparing. For a non-f32-exact fixed threshold like 0.3 (whose
+    nearest f32 lies ABOVE it) a prediction exactly equal to f32(0.3) is True
+    here (f64 semantics) but False under a numpy-2.x reference. We keep the
+    f64-exact semantics deliberately: they are numpy-version-independent and
+    match the pre-NEP-50 reference; searched thresholds are exact f32 either
+    way, so the full-pipeline byte-parity test is unaffected."""
     t32 = np.float32(t)
     if float(t32) > float(t):
         t32 = np.nextafter(t32, np.float32(-np.inf))

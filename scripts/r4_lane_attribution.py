@@ -176,6 +176,16 @@ def main():
     bench_model("vanilla_head", UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16,
                                          compute_dtype=bf16, plastic=False), tx)
     bench_model("fp32_full", UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16), tx)
+    # space-to-depth at lane scale (VERDICT r03 item-2 candidate): measured
+    # negative at 8 lanes fp32 (PERF.md), but 128-lane bf16 changes the
+    # tradeoff — folding turns the C=16 high-res levels into C=64 (4x MXU
+    # lane utilization) and the scatter cost amortizes over the lane batch.
+    try:
+        bench_model("fold_hires", UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16,
+                                           compute_dtype=bf16, fold_hires=True), tx)
+    except Exception as e:  # keep the rest of the probe alive
+        results["fold_hires"] = {"error": f"{type(e).__name__}: {e}"}
+        print("fold_hires FAILED:", e, flush=True)
 
     # rbg dropout rng on the baseline model
     model_rbg = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, compute_dtype=bf16)
@@ -200,6 +210,8 @@ def main():
         "bf16_speedup_vs_fp32": results["fp32_full"]["us_per_step"] / full,
         "rbg_delta_us": full - results["rbg"]["us_per_step"],
     }
+    if "us_per_step" in results.get("fold_hires", {}):
+        results["derived"]["fold_hires_speedup"] = full / results["fold_hires"]["us_per_step"]
     print(json.dumps(results), flush=True)
     with open(f"/tmp/r4_lane{lanes}_attribution.json", "w") as f:
         json.dump(results, f, indent=1)

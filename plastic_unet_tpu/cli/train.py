@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch-conv", type=int, default=0, metavar="MAX_C",
                    help="im2col-FORWARD 3x3 convs for fp32 levels with Cin <= MAX_C "
                         "(32 = measured B=1 sweet spot; 0 = off)")
+    p.add_argument("--remat-trunk", action="store_true", default=False,
+                   help="jax.checkpoint the trunk blocks: recompute block "
+                        "activations in the backward instead of storing them "
+                        "(bit-identical grads; fits larger --lanes in HBM)")
     p.add_argument("--trunk-pad", type=int, default=0, metavar="SIZE",
                    help="pad inputs to SIZExSIZE (e.g. 128) so the trunk runs on "
                         "MXU-aligned power-of-two tracks, cropping back to nbf "
@@ -151,6 +155,7 @@ def main(argv=None):
         use_pallas=args.use_pallas,
         pallas_trunk=args.pallas_trunk,
         fast_dw=args.fast_dw,
+        remat_trunk=args.remat_trunk,
         patch_conv=args.patch_conv,
         trunk_pad=args.trunk_pad,
         compute_dtype=args.compute_dtype,

@@ -52,6 +52,10 @@ class TrainConfig:
     use_pallas: bool = False  # fused Pallas plastic head
     pallas_trunk: bool = False  # fused Pallas residual tails (B=1 fp32; PERF.md)
     fast_dw: bool = False  # hand-written im2col dw backward for 3x3 convs
+    remat_trunk: bool = False  # jax.checkpoint every trunk block: backward
+    # recomputes block-internal activations instead of reading them from HBM
+    # (HBM <-> FLOPs trade; bit-identical grads, so parity-safe — use to fit
+    # larger lane counts / nbf in device memory)
     patch_conv: int = 0  # im2col-FORWARD 3x3 convs for fp32 levels with
     # Cin <= this (0 = off; 32 = the measured B=1 sweet spot, PERF.md).
     # Same math as the XLA conv, matmul-ordered fp32 accumulation.

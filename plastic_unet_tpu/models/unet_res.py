@@ -57,6 +57,11 @@ class UNetPRes(nn.Module):
     patch_conv: int = 0  # im2col-FORWARD 3x3 convs for fp32 levels with Cin <= this (ops/patch_conv)
     plastic: bool = True  # False = vanilla U-Net (sigmoid on trunk logits, no head)
     coord_conv: bool = False  # inject CoordConv xx/yy channels at the stem (extension)
+    remat_trunk: bool = False  # jax.checkpoint every trunk block: the backward
+    # recomputes block-internal activations instead of reading them from HBM
+    # (the TPU-native HBM <-> FLOPs trade). Bit-identical grads — the replayed
+    # ops are deterministic and dropout rngs are replayed by nn.remat — so it
+    # is parity-safe; use it to fit larger lane counts / nbf in HBM.
     trunk_pad: int = 0  # MXU-aligned padded trunk (VERDICT r02 item 2): pad the
     # input spatially to (trunk_pad, trunk_pad) — e.g. 101 -> 128 — so every
     # level runs on power-of-two tracks (128/64/32/16/8 instead of the
@@ -125,6 +130,14 @@ class UNetPRes(nn.Module):
         if dt is not None:
             x = x.astype(dt)
 
+        # remat_trunk: checkpoint each block (train is shape-static -> static_argnums;
+        # flax counts self as argnum 0)
+        DownResB, MiddleB, UpResB = DownRes, Middle, UpRes
+        if self.remat_trunk:
+            DownResB = nn.remat(DownRes, static_argnums=(2,))
+            MiddleB = nn.remat(Middle, static_argnums=(2,))
+            UpResB = nn.remat(UpRes, static_argnums=(3,))
+
         # Encoder: 101 -> 50 -> 25 -> 12 -> 6. With fold_hires, the two
         # thin-channel high-res levels run in 2x2 space-to-depth space
         # (numerically equivalent; see ops.space_to_depth and PERF.md).
@@ -134,34 +147,34 @@ class UNetPRes(nn.Module):
             h0, w0 = x.shape[-3], x.shape[-2]
             pad0 = (bool(h0 % 2), bool(w0 % 2))
             z1 = fold2(pad_to_even(x))
-            z1 = DownRes(n_in, n, self.batch_norm, dtype=dt, folded=True, mask_pad=pad0)(z1, train)
+            z1 = DownResB(n_in, n, self.batch_norm, dtype=dt, folded=True, mask_pad=pad0, name="DownRes_0")(z1, train)
             xc1 = crop_hw(unfold2(z1, n), h0, w0)
             x1 = channel_dropout(crop_hw(pool_phases(z1, n), h0 // 2, w0 // 2), self.dropout_ratio / 2, det)
 
             h1, w1 = x1.shape[-3], x1.shape[-2]
             pad1 = (bool(h1 % 2), bool(w1 % 2))
             z2 = fold2(pad_to_even(x1))
-            z2 = DownRes(n, n * 2, self.batch_norm, dtype=dt, folded=True, mask_pad=pad1)(z2, train)
+            z2 = DownResB(n, n * 2, self.batch_norm, dtype=dt, folded=True, mask_pad=pad1, name="DownRes_1")(z2, train)
             xc2 = crop_hw(unfold2(z2, n * 2), h1, w1)
             x2 = channel_dropout(crop_hw(pool_phases(z2, n * 2), h1 // 2, w1 // 2), self.dropout_ratio, det)
         else:
-            xc1 = DownRes(n_in, n, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x, train)
+            xc1 = DownResB(n_in, n, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_0")(x, train)
             x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
-            xc2 = DownRes(n, n * 2, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x1, train)
+            xc2 = DownResB(n, n * 2, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_1")(x1, train)
             x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
-        xc3 = DownRes(n * 2, n * 4, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x2, train)
+        xc3 = DownResB(n * 2, n * 4, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_2")(x2, train)
         x3 = channel_dropout(max_pool_2x2(xc3), self.dropout_ratio, det)
-        xc4 = DownRes(n * 4, n * 8, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x3, train)
+        xc4 = DownResB(n * 4, n * 8, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_3")(x3, train)
         x4 = channel_dropout(max_pool_2x2(xc4), self.dropout_ratio, det)
 
         # Middle
-        x5 = Middle(n * 8, n * 16, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x4, train)
+        x5 = MiddleB(n * 8, n * 16, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="Middle_0")(x4, train)
 
         # Decoder: 6 -> 12 -> 25 -> 50 -> 101 (fold the two high-res middles)
-        u = UpRes(n * 16, n * 8, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(x5, xc4, train)
-        u = UpRes(n * 8, n * 4, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(u, xc3, train)
-        u = UpRes(n * 4, n * 2, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(u, xc2, train)
-        u = UpRes(n * 2, n * 1, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv)(u, xc1, train)
+        u = UpResB(n * 16, n * 8, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_0")(x5, xc4, train)
+        u = UpResB(n * 8, n * 4, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_1")(u, xc3, train)
+        u = UpResB(n * 4, n * 2, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_2")(u, xc2, train)
+        u = UpResB(n * 2, n * 1, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_3")(u, xc1, train)
 
         out = conv1(self.n_classes, n, dtype=dt)(u)  # (B, H, W, n_classes)
         if dt is not None:

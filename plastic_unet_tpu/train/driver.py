@@ -62,6 +62,7 @@ def build_model(cfg: TrainConfig):
             use_pallas=cfg.use_pallas,
             pallas_trunk=cfg.pallas_trunk,
             fast_dw=cfg.fast_dw,
+            remat_trunk=cfg.remat_trunk,
             patch_conv=cfg.patch_conv,
             trunk_pad=cfg.trunk_pad,
             plastic=cfg.plastic,
@@ -76,6 +77,7 @@ def build_model(cfg: TrainConfig):
             "patch_conv": cfg.patch_conv,
             "pallas_trunk": cfg.pallas_trunk,
             "fast_dw": cfg.fast_dw,
+            "remat_trunk": cfg.remat_trunk,
         }
         bad = [k for k, v in unsupported.items() if v]
         if cfg.compute_dtype != "float32":

@@ -187,6 +187,16 @@ def main():
         results["fold_hires"] = {"error": f"{type(e).__name__}: {e}"}
         print("fold_hires FAILED:", e, flush=True)
 
+    # remat_trunk at lane scale: if the step is HBM-bound on activation
+    # traffic, recomputing block activations in the backward (bit-identical
+    # grads, tests/test_remat.py) trades idle-MXU FLOPs for bandwidth.
+    try:
+        bench_model("remat_trunk", UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16,
+                                            compute_dtype=bf16, remat_trunk=True), tx)
+    except Exception as e:
+        results["remat_trunk"] = {"error": f"{type(e).__name__}: {e}"}
+        print("remat_trunk FAILED:", e, flush=True)
+
     # rbg dropout rng on the baseline model
     model_rbg = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, compute_dtype=bf16)
     state_rbg = create_train_state(model_rbg, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=lanes)
@@ -212,6 +222,8 @@ def main():
     }
     if "us_per_step" in results.get("fold_hires", {}):
         results["derived"]["fold_hires_speedup"] = full / results["fold_hires"]["us_per_step"]
+    if "us_per_step" in results.get("remat_trunk", {}):
+        results["derived"]["remat_trunk_speedup"] = full / results["remat_trunk"]["us_per_step"]
     print(json.dumps(results), flush=True)
     with open(f"/tmp/r4_lane{lanes}_attribution.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -78,14 +78,19 @@ class _CacheProbe:
 
 
 def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False,
-                patch_conv: int = 0):
+                patch_conv: int = 0, fold_hires: bool = False, remat_trunk: bool = False):
     """Returns (imgs_per_sec, compile_seconds, mfu_or_None).
 
     patch_conv=32 is the measured-best B=1 parity configuration (im2col-
     forward thin-level convs, ops/patch_conv): same math as the reference
     step, matmul-ordered fp32 accumulation, torch-trajectory parity tested
     (tests/test_train_loop.py::test_training_trajectory_matches_torch
-    [hebb-patch_conv])."""
+    [hebb-patch_conv]).
+
+    MFU numerator convention: cost_analysis FLOPs are always taken from the
+    CANONICAL step representation (fold_hires=False, remat_trunk=False) so
+    fold's 4x-MAC sparse folded kernels and remat's backward recompute never
+    inflate the reported MFU — it stays 'useful algorithmic FLOPs / peak'."""
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +100,8 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     from plastic_unet_tpu.train.optimizer import adam_step_lr
 
     model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule=rule,
-                     compute_dtype=compute_dtype, coord_conv=coord_conv, patch_conv=patch_conv)
+                     compute_dtype=compute_dtype, coord_conv=coord_conv, patch_conv=patch_conv,
+                     fold_hires=fold_hires, remat_trunk=remat_trunk)
     tx = adam_step_lr(3e-4, 0.666, 1e5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=lanes)
 
@@ -120,7 +126,13 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     try:
         from plastic_unet_tpu.train.loop import make_train_step
 
-        step_fn = jax.jit(make_train_step(model, tx, loss_space="logits"))
+        if fold_hires or remat_trunk:  # canonical-representation twin (see docstring)
+            model_ca = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule=rule,
+                                compute_dtype=compute_dtype, coord_conv=coord_conv,
+                                patch_conv=patch_conv)
+        else:
+            model_ca = model
+        step_fn = jax.jit(make_train_step(model_ca, tx, loss_space="logits"))
         ca = step_fn.lower(state, (Xl[0], Yl[0]), rng).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]

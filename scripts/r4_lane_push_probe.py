@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Round-4 lane-push sweep (VERDICT r03 item 2 follow-up): can remat_trunk
+(freed HBM) and/or fold_hires (4x MXU lane utilization on the thin-channel
+high-res levels) push training throughput/MFU past the 128-lane knee?
+
+Reuses bench.bench_train verbatim (same stream construction, same timing,
+same canonical-representation MFU numerator), so any winner here transplants
+into bench.py as a stage with identical semantics.
+
+Prints one JSON line per config (partial results survive a hang).
+Run on the real TPU: python3 scripts/r4_lane_push_probe.py [total_imgs]
+"""
+
+import json
+import sys
+
+
+def main():
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+
+    import jax.numpy as jnp
+
+    import bench
+    from plastic_unet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    out = {}
+    for lanes in (128, 256, 512):
+        steps = max(total // lanes, 6)
+        for name, kw in (
+            ("base", {}),
+            ("remat", {"remat_trunk": True}),
+            ("fold", {"fold_hires": True}),
+            ("fold_remat", {"fold_hires": True, "remat_trunk": True}),
+        ):
+            key = f"lanes{lanes}_{name}"
+            try:
+                ips, compile_s, mfu = bench.bench_train(
+                    lanes, steps, compute_dtype=jnp.bfloat16, **kw
+                )
+                out[key] = {
+                    "imgs_per_sec": round(ips, 1),
+                    "mfu": round(mfu, 4) if mfu else None,
+                    "compile_s": round(compile_s, 1),
+                }
+            except Exception as e:
+                out[key] = {"error": f"{type(e).__name__}: {e}"}
+            print(json.dumps({key: out[key]}), flush=True)
+
+    print("FINAL " + json.dumps(out), flush=True)
+    with open("/tmp/r4_lane_push.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

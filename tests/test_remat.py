@@ -83,6 +83,35 @@ def test_remat_composes_with_fold_hires(rng):
     np.testing.assert_array_equal(np.asarray(o2.activout), np.asarray(o1.activout))
 
 
+def test_remat_composes_with_dp_mesh(rng):
+    """remat_trunk under shard_map DP (the production lane-scale config) is
+    bit-identical to the stored-activation DP run: same sharded epoch losses
+    and same (replicated) updated params."""
+    from plastic_unet_tpu.parallel import make_dp_epoch_fn, make_mesh, shard_stream
+    from plastic_unet_tpu.train.loop import create_train_state
+    from plastic_unet_tpu.train.optimizer import adam_step_lr
+
+    size, D = 16, 4
+    mesh = make_mesh(D)
+    tx = adam_step_lr(1e-3, 0.666, 1e6)
+    X = jnp.asarray(rng.standard_normal((16, size, size, 1)).astype(np.float32))
+    Y = jnp.asarray((rng.random((16, size, size)) > 0.5).astype(np.float32))
+    Xs, Ys = shard_stream(X, Y, mesh, lanes_per_device=1)
+
+    outs = []
+    for remat in (False, True):
+        model = UNetPRes(n_channels=1, n_classes=1, neurons=2, dropout_ratio=0.0,
+                         nbf=size, remat_trunk=remat)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), (size, size, 1), lanes=D)
+        s, losses = make_dp_epoch_fn(model, tx, mesh)(state, Xs, Ys, jax.random.PRNGKey(1))
+        outs.append((s, losses))
+    (s1, l1), (s2, l2) = outs
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(s2.hebb), np.asarray(s1.hebb))
+
+
 def test_remat_rejected_for_classic_arch():
     from plastic_unet_tpu.config import TrainConfig
     from plastic_unet_tpu.train.driver import build_model

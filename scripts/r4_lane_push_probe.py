@@ -25,7 +25,7 @@ def main():
 
     enable_compilation_cache()
     out = {}
-    for lanes in (128, 256, 512):
+    for lanes in (128, 256, 512, 1024):
         steps = max(total // lanes, 6)
         for name, kw in (
             ("base", {}),

@@ -1,38 +1,80 @@
 #!/bin/bash
 # Round-4 TPU measurement pipeline (supervisor).
-# Usage: r4_pipeline.sh <waiter_output_log> <waiter_pid>
+# Usage: r4_pipeline.sh <waiter_output_log> <waiter_pid> [deadline_HH:MM]
+#
 # Waits for the already-running relay waiter to print "TPU BACK", then runs
 # the round-4 probes SEQUENTIALLY (the relay admits one client), re-checking
-# relay health between stages (a timed-out stage may leave a ~20-30 min
-# wedge; the health wait outlasts it). Every probe prints partial results
+# relay health between stages. Every probe prints partial results
 # line-by-line, so even an interrupted stage leaves usable numbers.
+#
+# DEADLINE POLICY (round-3 lesson: the driver's own end-of-round bench.py
+# must find the relay free): no stage may run past DEADLINE. Each stage's
+# timeout is clamped to the time remaining; a stage with <10 min of budget
+# is skipped. If recovery comes late, probes are dropped in reverse priority
+# and bench.py (the official-record rehearsal + XLA cache seed) runs first.
 set -u
 cd /root/repo
 WAITER_LOG=$1
 WPID=$2
+DEADLINE=${3:-18:30}
 L=/tmp/r4_pipeline; mkdir -p "$L"
 note() { echo "$(date +%H:%M:%S) $*" >> "$L/pipeline.log"; }
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-note "supervisor start; watching $WAITER_LOG (waiter pid $WPID)"
+secs_left() {
+    local now dl
+    now=$(date +%s)
+    dl=$(date -d "today $DEADLINE" +%s)
+    echo $(( dl - now ))
+}
+
+note "supervisor start; watching $WAITER_LOG (waiter pid $WPID), deadline $DEADLINE"
 while ! grep -q "TPU BACK" "$WAITER_LOG" 2>/dev/null; do
     kill -0 "$WPID" 2>/dev/null || { note "waiter exited without recovery; aborting"; exit 1; }
+    [ "$(secs_left)" -lt 600 ] && { note "deadline reached before recovery; aborting"; exit 1; }
     sleep 60
 done
-note "TPU BACK detected"
+note "TPU BACK detected ($(secs_left)s to deadline)"
 
-run() { local name=$1; shift; note "$name start"; timeout "$@" > "$L/$name.log" 2>&1; note "$name rc=$?"; }
+run() { # run <name> <default_timeout_s> <cmd...>
+    local name=$1 want=$2; shift 2
+    local left; left=$(secs_left)
+    local budget=$(( want < left ? want : left ))
+    if [ "$budget" -lt 600 ]; then note "$name SKIPPED (only ${left}s to deadline)"; return 1; fi
+    note "$name start (timeout ${budget}s)"
+    timeout "$budget" "$@" > "$L/$name.log" 2>&1
+    note "$name rc=$?"
+}
 wait_healthy() {
+    local left; left=$(secs_left)
+    [ "$left" -lt 600 ] && { note "healthwait skipped (deadline)"; return 1; }
     note "healthwait start"
-    timeout 7200 python3 scripts/r4_tpu_waiter.py 2100 120 >> "$L/healthwait.log" 2>&1
+    timeout $(( left < 7200 ? left : 7200 )) python3 scripts/r4_tpu_waiter.py 2100 120 >> "$L/healthwait.log" 2>&1
     note "healthwait rc=$?"
 }
 
-run lane128 10800 python3 scripts/r4_lane_attribution.py 128 48
-wait_healthy
-run b1slack 7200 python3 scripts/r4_b1_slack_probe.py 2048
-wait_healthy
-run lanepush 10800 python3 scripts/r4_lane_push_probe.py 2048
-wait_healthy
-run servingfold 7200 python3 scripts/r4_serving_fold_probe.py
-note "pipeline done"
+if [ "$(secs_left)" -ge 14400 ]; then
+    # EARLY recovery: full probe sequence, then the bench rehearsal.
+    run lane128 10800 python3 scripts/r4_lane_attribution.py 128 48
+    wait_healthy
+    run b1slack 7200 python3 scripts/r4_b1_slack_probe.py 2048
+    wait_healthy
+    run lanepush 10800 python3 scripts/r4_lane_push_probe.py 2048
+    wait_healthy
+    run servingfold 7200 python3 scripts/r4_serving_fold_probe.py
+    wait_healthy
+    run bench 5400 python3 bench.py
+else
+    # LATE recovery: official-record rehearsal first (seeds the XLA cache
+    # for the driver's own bench), then whatever probes still fit.
+    run bench 5400 python3 bench.py
+    wait_healthy
+    run lane128 7200 python3 scripts/r4_lane_attribution.py 128 48
+    wait_healthy
+    run b1slack 5400 python3 scripts/r4_b1_slack_probe.py 2048
+    wait_healthy
+    run lanepush 7200 python3 scripts/r4_lane_push_probe.py 2048
+    wait_healthy
+    run servingfold 5400 python3 scripts/r4_serving_fold_probe.py
+fi
+note "pipeline done ($(secs_left)s to deadline)"

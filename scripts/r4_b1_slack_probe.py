@@ -70,6 +70,14 @@ def main():
     rng = jax.random.PRNGKey(1)
     results = {}
 
+    def _dump():
+        # Incremental write: a stage timeout must not lose already-measured
+        # numbers (r4_fill_perf.py reads this file). CPU smoke runs write to
+        # a _cpu-suffixed path so they never pollute the TPU record.
+        suffix = "_cpu" if jax.default_backend() == "cpu" else ""
+        with open(f"/tmp/r4_b1_slack{suffix}.json", "w") as f:
+            json.dump(results, f, indent=1)
+
     def loss_fn(p, img, mask, hebb, drop_rng):
         out = model.apply({"params": p}, img, jax.lax.stop_gradient(hebb),
                           train=True, rngs={"dropout": drop_rng})
@@ -128,12 +136,15 @@ def main():
     base_us = slope(make_epoch(ghost=False))
     results["full_step_us"] = base_us
     print("full_step", base_us, flush=True)
+    _dump()
     ghost_us = slope(make_epoch(ghost=True))
     results["full_step_plus_ghost_us"] = ghost_us
     print("full_step_plus_ghost", ghost_us, flush=True)
+    _dump()
     fwd_us = slope(fwd_only)
     results["standalone_fwd_us"] = fwd_us
     print("standalone_fwd", fwd_us, flush=True)
+    _dump()
 
     marginal = ghost_us - base_us
     slack = fwd_us - marginal
@@ -148,8 +159,7 @@ def main():
         ),
     }
     print(json.dumps(results), flush=True)
-    with open("/tmp/r4_b1_slack.json", "w") as f:
-        json.dump(results, f, indent=1)
+    _dump()
 
 
 if __name__ == "__main__":

@@ -52,6 +52,14 @@ def main():
     S1 = S2 // 2
     results = {"lanes": lanes, "steps_long": S2, "steps_short": S1}
 
+    def _dump():
+        # Incremental write: a stage timeout must not lose already-measured
+        # numbers (r4_fill_perf.py reads this file). CPU smoke runs write to
+        # a _cpu-suffixed path so they never pollute the TPU record.
+        suffix = "_cpu" if jax.default_backend() == "cpu" else ""
+        with open(f"/tmp/r4_lane{lanes}_attribution{suffix}.json", "w") as f:
+            json.dump(results, f, indent=1)
+
     def stream(S, seed=0):
         n = S * lanes
         base = min(n, 512)
@@ -89,6 +97,7 @@ def main():
         us = slope_time(run, state)
         results[name] = {"us_per_step": us, "imgs_per_sec": lanes / us * 1e6}
         print(name, results[name], flush=True)
+        _dump()
         return state, epoch_fn
 
     bf16 = jnp.bfloat16
@@ -118,6 +127,7 @@ def main():
         "note": "bytes accessed is XLA's pre-fusion estimate; treat as upper-ish bound",
     }
     print("cost_analysis", results["cost_analysis"], flush=True)
+    _dump()
 
     # ---- forward only ---------------------------------------------------
     params = state.params
@@ -140,6 +150,7 @@ def main():
     us = slope_time(fwd_epoch, state.hebb)
     results["fwd_only"] = {"us_per_step": us, "imgs_per_sec": lanes / us * 1e6}
     print("fwd_only", results["fwd_only"], flush=True)
+    _dump()
 
     # ---- dx chain + head grads only (all trunk dw dead) -----------------
     head = {k: params[k] for k in ("w", "alpha", "eta")}
@@ -169,6 +180,7 @@ def main():
     us = slope_time(dx_epoch, state.hebb, head, head_tx.init(head))
     results["dx_plus_head"] = {"us_per_step": us, "imgs_per_sec": lanes / us * 1e6}
     print("dx_plus_head", results["dx_plus_head"], flush=True)
+    _dump()
 
     # ---- ablations ------------------------------------------------------
     bench_model("nodrop", UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16,
@@ -186,6 +198,7 @@ def main():
     except Exception as e:  # keep the rest of the probe alive
         results["fold_hires"] = {"error": f"{type(e).__name__}: {e}"}
         print("fold_hires FAILED:", e, flush=True)
+        _dump()
 
     # remat_trunk at lane scale: if the step is HBM-bound on activation
     # traffic, recomputing block activations in the backward (bit-identical
@@ -196,6 +209,7 @@ def main():
     except Exception as e:
         results["remat_trunk"] = {"error": f"{type(e).__name__}: {e}"}
         print("remat_trunk FAILED:", e, flush=True)
+        _dump()
 
     # rbg dropout rng on the baseline model
     model_rbg = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, compute_dtype=bf16)
@@ -209,6 +223,7 @@ def main():
     us = slope_time(run_rbg, state_rbg)
     results["rbg"] = {"us_per_step": us, "imgs_per_sec": lanes / us * 1e6}
     print("rbg", results["rbg"], flush=True)
+    _dump()
 
     full = results["full"]["us_per_step"]
     results["derived"] = {
@@ -225,8 +240,7 @@ def main():
     if "us_per_step" in results.get("remat_trunk", {}):
         results["derived"]["remat_trunk_speedup"] = full / results["remat_trunk"]["us_per_step"]
     print(json.dumps(results), flush=True)
-    with open(f"/tmp/r4_lane{lanes}_attribution.json", "w") as f:
-        json.dump(results, f, indent=1)
+    _dump()
 
 
 if __name__ == "__main__":

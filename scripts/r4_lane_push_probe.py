@@ -18,6 +18,7 @@ import sys
 def main():
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 
+    import jax
     import jax.numpy as jnp
 
     import bench
@@ -25,6 +26,15 @@ def main():
 
     enable_compilation_cache()
     out = {}
+
+    def _dump():
+        # Incremental write: a stage timeout must not lose already-measured
+        # numbers (r4_fill_perf.py reads this file). CPU smoke runs write to
+        # a _cpu-suffixed path so they never pollute the TPU record.
+        suffix = "_cpu" if jax.default_backend() == "cpu" else ""
+        with open(f"/tmp/r4_lane_push{suffix}.json", "w") as f:
+            json.dump(out, f, indent=1)
+
     for lanes in (128, 256, 512, 1024):
         steps = max(total // lanes, 6)
         for name, kw in (
@@ -46,10 +56,10 @@ def main():
             except Exception as e:
                 out[key] = {"error": f"{type(e).__name__}: {e}"}
             print(json.dumps({key: out[key]}), flush=True)
+            _dump()
 
     print("FINAL " + json.dumps(out), flush=True)
-    with open("/tmp/r4_lane_push.json", "w") as f:
-        json.dump(out, f, indent=1)
+    _dump()
 
 
 if __name__ == "__main__":

@@ -53,11 +53,15 @@ wait_healthy() {
     note "healthwait rc=$?"
 }
 
+fill() { python3 scripts/r4_fill_perf.py >> "$L/pipeline.log" 2>&1; }
+
 if [ "$(secs_left)" -ge 14400 ]; then
     # EARLY recovery: full probe sequence, then the bench rehearsal.
     run lane128 10800 python3 scripts/r4_lane_attribution.py 128 48
+    fill
     wait_healthy
     run b1slack 7200 python3 scripts/r4_b1_slack_probe.py 2048
+    fill
     wait_healthy
     run lanepush 10800 python3 scripts/r4_lane_push_probe.py 2048
     wait_healthy
@@ -70,11 +74,14 @@ else
     run bench 5400 python3 bench.py
     wait_healthy
     run lane128 7200 python3 scripts/r4_lane_attribution.py 128 48
+    fill
     wait_healthy
     run b1slack 5400 python3 scripts/r4_b1_slack_probe.py 2048
+    fill
     wait_healthy
     run lanepush 7200 python3 scripts/r4_lane_push_probe.py 2048
     wait_healthy
     run servingfold 5400 python3 scripts/r4_serving_fold_probe.py
 fi
+fill
 note "pipeline done ($(secs_left)s to deadline)"

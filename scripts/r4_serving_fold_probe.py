@@ -44,6 +44,15 @@ def main():
     Xt = jnp.asarray(np.transpose(timgs, (0, 2, 3, 1)))
 
     out = {}
+
+    def _dump():
+        # Incremental write: a stage timeout must not lose already-measured
+        # numbers (r4_fill_perf.py reads this file). CPU smoke runs write to
+        # a _cpu-suffixed path so they never pollute the TPU record.
+        suffix = "_cpu" if jax.default_backend() == "cpu" else ""
+        with open(f"/tmp/r4_serving_fold{suffix}.json", "w") as f:
+            json.dump(out, f, indent=1)
+
     for dtype_name, dtype in (("bf16", jnp.bfloat16), ("fp32", None)):
         for fold in (False, True):
             model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16,
@@ -66,14 +75,14 @@ def main():
             key = f"{dtype_name}_fold{int(fold)}_tta2_imgs_per_sec"
             out[key] = round(n / dt, 1)
             print(json.dumps({key: out[key]}), flush=True)
+            _dump()
 
     if out.get("bf16_fold0_tta2_imgs_per_sec"):
         out["bf16_fold_speedup"] = round(
             out["bf16_fold1_tta2_imgs_per_sec"] / out["bf16_fold0_tta2_imgs_per_sec"], 3
         )
     print("FINAL " + json.dumps(out), flush=True)
-    with open("/tmp/r4_serving_fold.json", "w") as f:
-        json.dump(out, f, indent=1)
+    _dump()
 
 
 if __name__ == "__main__":

@@ -78,7 +78,8 @@ class _CacheProbe:
 
 
 def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False,
-                patch_conv: int = 0, fold_hires: bool = False, remat_trunk: bool = False):
+                patch_conv: int = 0, fold_hires: bool = False, remat_trunk: bool = False,
+                pipelined: bool = False):
     """Returns (imgs_per_sec, compile_seconds, mfu_or_None).
 
     patch_conv=32 is the measured-best B=1 parity configuration (im2col-
@@ -115,7 +116,16 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     Y = jnp.asarray(masks[:, 0])
     Xl, Yl = reshape_stream(X, Y, lanes=lanes)
 
-    epoch_fn = make_epoch_fn(model, tx, loss_space="logits", donate=False)
+    if pipelined:
+        # delayed-gradient pipelined epoch (train/pipelined.py): stale-by-one
+        # params let XLA overlap the next forward with the pending backward.
+        # Same per-sample FLOPs as the sequential step, so the MFU numerator
+        # below (canonical step cost_analysis) carries over unchanged.
+        from plastic_unet_tpu.train.pipelined import make_pipelined_epoch_fn
+
+        epoch_fn = make_pipelined_epoch_fn(model, tx, loss_space="logits", donate=False)
+    else:
+        epoch_fn = make_epoch_fn(model, tx, loss_space="logits", donate=False)
     rng = jax.random.PRNGKey(1)
 
     # XLA's own FLOP count of ONE training step (for MFU). Analyzed on a

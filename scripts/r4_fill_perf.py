@@ -19,6 +19,7 @@ PERF = os.path.join(os.path.dirname(__file__), "..", "PERF.md")
 SLACK_TAG = "<!-- R4_SLACK_RESULTS -->"
 LANE_TAG = "<!-- R4_LANE_RESULTS -->"
 LANEPUSH_TAG = "<!-- R4_LANEPUSH_RESULTS -->"
+PIPELINE_TAG = "<!-- R4_PIPELINE_RESULTS -->"
 SERVINGFOLD_TAG = "<!-- R4_SERVINGFOLD_RESULTS -->"
 # A generated block ends at the next heading of ANY level (## or ###) —
 # matching only "## " would swallow the ### subsections that follow a tag.
@@ -133,6 +134,43 @@ def render_lanepush(d):
     return "\n".join(lines)
 
 
+def render_pipeline(d):
+    lines = ["", "| config | imgs/s | MFU |", "|---|---|---|"]
+    for key in ("fp32_patch_base", "fp32_patch_pipelined",
+                "bf16_patch_base", "bf16_patch_pipelined"):
+        v = d.get(key)
+        if not isinstance(v, dict):
+            continue
+        if "error" in v:
+            lines.append(f"| {key} | FAILED: {v['error']} | — |")
+        else:
+            mfu = v.get("mfu")
+            lines.append(
+                f"| {key} | {v['imgs_per_sec']:.0f} | "
+                f"{(f'{mfu:.1%}' if mfu else '—')} |"
+            )
+    verdicts = []
+    for pre in ("fp32_patch", "bf16_patch"):
+        sp = d.get(f"{pre}_speedup")
+        if sp is None:
+            continue
+        if sp > 1.05:
+            verdicts.append(
+                f"{pre}: **{sp:.2f}x** — the relaxed pipeline recovers real idle "
+                "slack; promote to the documented B=1 throughput recommendation."
+            )
+        else:
+            verdicts.append(
+                f"{pre}: {sp:.2f}x — no material win; consistent with the "
+                "slack probe's saturation reading. Keep --pipelined opt-in and "
+                "treat the sequential dependency chain as the B=1 floor."
+            )
+    if verdicts:
+        lines += [""] + verdicts
+    lines.append("")
+    return "\n".join(lines)
+
+
 def render_servingfold(d):
     lines = ["", "| config | imgs/s (2-view TTA) |", "|---|---|"]
     for key, v in d.items():
@@ -167,6 +205,10 @@ def main():
     if lane and LANE_TAG in text:
         text = splice(text, LANE_TAG, render_lane(lane))
         changed.append("lane128")
+    pipe = _load("/tmp/r4_b1_pipeline.json")
+    if pipe and PIPELINE_TAG in text:
+        text = splice(text, PIPELINE_TAG, render_pipeline(pipe))
+        changed.append("b1pipeline")
     push = _load("/tmp/r4_lane_push.json")
     if push and LANEPUSH_TAG in text:
         text = splice(text, LANEPUSH_TAG, render_lanepush(push))

@@ -63,6 +63,9 @@ if [ "$(secs_left)" -ge 14400 ]; then
     run b1slack 7200 python3 scripts/r4_b1_slack_probe.py 2048
     fill
     wait_healthy
+    run b1pipe 5400 python3 scripts/r4_b1_pipeline_probe.py 2048
+    fill
+    wait_healthy
     run lanepush 10800 python3 scripts/r4_lane_push_probe.py 2048
     wait_healthy
     run servingfold 7200 python3 scripts/r4_serving_fold_probe.py
@@ -77,6 +80,9 @@ else
     fill
     wait_healthy
     run b1slack 5400 python3 scripts/r4_b1_slack_probe.py 2048
+    fill
+    wait_healthy
+    run b1pipe 5400 python3 scripts/r4_b1_pipeline_probe.py 2048
     fill
     wait_healthy
     run lanepush 7200 python3 scripts/r4_lane_push_probe.py 2048

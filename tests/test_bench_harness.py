@@ -143,7 +143,7 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
     monkeypatch.setattr(
         bench, "bench_train",
         lambda lanes, steps, compute_dtype=None, rule="hebb", coord_conv=False, patch_conv=0,
-        fold_hires=False, remat_trunk=False:
+        fold_hires=False, remat_trunk=False, pipelined=False:
             (100.0 * lanes, 2.0, 0.25),
     )
     monkeypatch.setattr(bench, "bench_infer_tta",

@@ -42,6 +42,11 @@ def main():
             ("remat", {"remat_trunk": True}),
             ("fold", {"fold_hires": True}),
             ("fold_remat", {"fold_hires": True, "remat_trunk": True}),
+            # delayed-gradient pipeline at lane scale: if the saturated step
+            # has HBM-bound bubbles, interleaving the next forward with the
+            # pending backward can fill them (carries one step's residuals
+            # in the scan carry — an OOM here is caught as a per-config error)
+            ("pipe", {"pipelined": True}),
         ):
             key = f"lanes{lanes}_{name}"
             try:

@@ -611,6 +611,14 @@ def _run():
                compute_dtype=jnp.bfloat16, patch_conv=32)
     if r:
         _put("train_b1_bf16_patch_images_per_sec", r[0])
+    # round 4: the delayed-gradient pipelined mode at the same configuration
+    # (documented divergence — one update of gradient staleness; see
+    # train/pipelined.py + PERF.md). Captured in the official record so the
+    # B=1 latency story is driver-verified, win or lose.
+    r = _stage("train_b1_bf16_patch_pipelined", bench_train, lanes=1, steps=max(steps // 2, 256),
+               compute_dtype=jnp.bfloat16, patch_conv=32, pipelined=True)
+    if r:
+        _put("train_b1_bf16_patch_pipelined_images_per_sec", r[0])
     r = _stage("train_8lane", bench_train, lanes=8, steps=max(steps // 32, 32))
     if r:
         _put("train_8lane_images_per_sec", r[0])

@@ -46,6 +46,8 @@ def main():
             lanes=2, steps=4, compute_dtype=jnp.bfloat16)),
         ("bench_train_fold_remat", lambda: bench.bench_train(
             lanes=2, steps=4, compute_dtype=jnp.bfloat16, fold_hires=True, remat_trunk=True)),
+        ("bench_train_b1_pipelined", lambda: bench.bench_train(
+            lanes=1, steps=4, compute_dtype=jnp.bfloat16, patch_conv=32, pipelined=True)),
         ("bench_train_coordconv", lambda: bench.bench_train(lanes=2, steps=4, coord_conv=True)),
         ("bench_vanilla_forward", lambda: bench.bench_vanilla_forward(32)),
         ("bench_oja_epoch_with_eval", lambda: bench.bench_oja_epoch_with_eval(16)),

@@ -47,6 +47,10 @@ def main():
             # pending backward can fill them (carries one step's residuals
             # in the scan carry — an OOM here is caught as a per-config error)
             ("pipe", {"pipelined": True}),
+            # remat shrinks the carried residuals to block boundaries
+            # (bit-identical grads), making the pipeline affordable in HBM
+            # at high lane counts
+            ("pipe_remat", {"pipelined": True, "remat_trunk": True}),
         ):
             key = f"lanes{lanes}_{name}"
             try:

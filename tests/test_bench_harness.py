@@ -160,7 +160,9 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
     expect = {
         "device", "train_images_per_sec", "compile_seconds", "mfu_parity_mode",
         "compile_cache_hit", "train_parity_plain_xla_images_per_sec",
-        "train_b1_bf16_patch_images_per_sec", "train_8lane_images_per_sec",
+        "train_b1_bf16_patch_images_per_sec",
+        "train_b1_bf16_patch_pipelined_images_per_sec",
+        "train_8lane_images_per_sec",
         "train_8lane_bf16_images_per_sec", "train_128lane_bf16_images_per_sec",
         "compile_seconds_128lane", "mfu_128lane_bf16",
         "train_256lane_bf16_images_per_sec", "mfu_256lane_bf16",

@@ -238,6 +238,28 @@ def test_driver_rejects_unsupported_combos(tmp_path):
         )
 
 
+def test_remat_trunk_composes():
+    """remat_trunk under the pipelined epoch: same semantics, far smaller
+    carried VJP residuals (the backward recomputes block internals), which
+    is what makes lane-scale pipelining affordable in HBM. Plain-jit
+    forward/grads are bit-identical (tests/test_remat.py); inside the
+    pipelined scan the checkpoint regions change XLA's fusion choices, so
+    the comparison here is tight-allclose (few-ULP fusion noise), not
+    array_equal."""
+    tx = optax.sgd(1e-3)
+    X, Y = _data(S=4)
+    rng = jax.random.PRNGKey(1)
+
+    base = _model(dropout_ratio=0.0)
+    rem = _model(dropout_ratio=0.0, remat_trunk=True)
+    state0 = create_train_state(base, tx, jax.random.PRNGKey(0), (SIZE, SIZE, 1), lanes=1)
+
+    st_b, losses_b = make_pipelined_epoch_fn(base, tx, donate=False)(state0, X, Y, rng)
+    st_r, losses_r = make_pipelined_epoch_fn(rem, tx, donate=False)(state0, X, Y, rng)
+    np.testing.assert_allclose(np.asarray(losses_b), np.asarray(losses_r), rtol=0, atol=1e-5)
+    assert _max_diff(st_b.params, st_r.params) < 1e-5
+
+
 def test_bf16_compute_dtype_composes():
     model = _model(compute_dtype=jnp.bfloat16)
     tx = optax.sgd(1e-3)

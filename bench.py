@@ -230,7 +230,7 @@ def bench_oja_epoch_with_eval(steps: int):
 
 
 def bench_infer_tta(n_infer: int, compute_dtype=None, transforms=("identity", "hflip"),
-                    batch_views: bool = False):
+                    batch_views: bool = False, quant: bool = False):
     import jax.numpy as jnp
 
     import jax
@@ -242,9 +242,20 @@ def bench_infer_tta(n_infer: int, compute_dtype=None, transforms=("identity", "h
     model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, compute_dtype=compute_dtype)
     x0 = jnp.zeros((1, 101, 101, 1))
     params = model.init(jax.random.PRNGKey(0), x0, model.initial_zero_hebb(1))["params"]
+    flops_model, flops_params = model, params  # canonical-representation MFU numerator
 
     timgs, _ = synthetic_tiles(n_infer, size=101, seed=1)
     Xt = jnp.asarray(np.transpose(timgs, (0, 2, 3, 1)))
+
+    if quant:
+        # int8 PTQ serving (submit/quant.py): conv trunk as int8 convs with
+        # int32 accumulation. MFU below keeps the canonical fp32-graph FLOP
+        # numerator and the 197-TFLOP bf16 denominator, so it is a relative
+        # throughput indicator — the int8 datapath peak is 394 TOP/s, so
+        # values above the bf16 stage's MFU are expected, not anomalous.
+        from plastic_unet_tpu.submit.quant import quantize_for_serving
+
+        model, params = quantize_for_serving(model, params, Xt[:256])
 
     @jax.jit
     def run(Xt):
@@ -261,7 +272,7 @@ def bench_infer_tta(n_infer: int, compute_dtype=None, transforms=("identity", "h
         from plastic_unet_tpu.eval.evaluate import _forward_chunk
 
         xc = jnp.zeros((128, 101, 101, 1))
-        ca = jax.jit(lambda p, x: _forward_chunk(model, p, x)).lower(params, xc).compile().cost_analysis()
+        ca = jax.jit(lambda p, x: _forward_chunk(flops_model, p, x)).lower(flops_params, xc).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         chunk_flops = float(ca["flops"])
@@ -652,6 +663,14 @@ def _run():
     if r:
         _put("infer_tta8_bf16_images_per_sec", r[0])
         _put("mfu_infer_tta8_bf16", r[1], nd=4)
+
+    # round 4: int8 PTQ serving (2x MXU dtype rate over bf16; quality study
+    # in QUALITY.md, numerics in tests/test_quant.py). bf16 dequant output.
+    r = _stage("infer_tta_int8", bench_infer_tta, n_infer, compute_dtype=jnp.bfloat16,
+               quant=True)
+    if r:
+        _put("infer_tta_int8_images_per_sec", r[0])
+        _put("mfu_infer_tta_int8", r[1], nd=4)
 
     r = _stage("artifact_infer_bf16", bench_artifact_serving, min(n_infer, 2048))
     if r:

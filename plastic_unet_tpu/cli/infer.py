@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU-aligned padded trunk (must match how the model was trained)")
     p.add_argument("--devices", type=int, default=1,
                    help="shard inference batches over a data mesh of this many devices")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 serving quantization (EXTENSION): calibrate activation ranges "
+                        "on validation images, then run the conv trunk as int8 convs with "
+                        "int32 accumulation (2x MXU rate on TPU v5e). The threshold search "
+                        "runs on the quantized model, so the submission threshold adapts to "
+                        "the quantized output distribution. See submit/quant.py")
+    p.add_argument("--quant-calib", dest="quant_calib", type=int, default=256,
+                   help="number of validation images used for int8 calibration")
     return p
 
 
@@ -99,6 +107,16 @@ def main(argv=None):
         model = build_model(cfg)
         print("Loading model %s" % args.model)
         params = state_dict_to_flax_params(load_pth(args.model), name_map_for(cfg))
+
+        if args.quant == "int8":
+            from plastic_unet_tpu.submit.quant import quantize_for_serving
+
+            import numpy as np
+
+            xv_nhwc = np.transpose(np.asarray(x_valid, dtype=np.float32), (0, 2, 3, 1))
+            n_cal = max(1, min(args.quant_calib, len(xv_nhwc)))
+            print("Calibrating int8 serving on %d validation images" % n_cal)
+            model, params = quantize_for_serving(model, params, xv_nhwc[:n_cal])
 
         if args.fixed_threshold is not None:
             run_params = {

@@ -30,11 +30,21 @@ from plastic_unet_tpu.ops.iou import threshold_sweep_jit
 from plastic_unet_tpu.ops.losses import bce_probs
 
 
+def _as_variables(params):
+    """Serving entry points accept either a bare params tree or a full flax
+    variables dict (e.g. {'params': ..., 'quant': ...} from
+    submit.quant.quantize_for_serving). A top-level 'params' key marks the
+    latter (no module in this family is named 'params')."""
+    if isinstance(params, dict) and "params" in params:
+        return params
+    return {"params": params}
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _forward_chunk(model, params, x):
     """Zero-hebb forward on a (B, H, W, C) chunk -> activout (B, nbf, nbf)."""
     hebb = model.initial_zero_hebb(x.shape[0], dtype=x.dtype)
-    out = model.apply({"params": params}, x, hebb, train=False)
+    out = model.apply(_as_variables(params), x, hebb, train=False)
     return out.activout
 
 
@@ -82,7 +92,7 @@ def predict_masks(model, params, X, *, chunk: int = 128, mesh=None) -> jax.Array
 def _eval_metrics(model, params, x, y):
     """(per-sample BCE losses, per-sample pixel accuracies) for one chunk."""
     hebb = model.initial_zero_hebb(x.shape[0], dtype=x.dtype)
-    out = model.apply({"params": params}, x, hebb, train=False)
+    out = model.apply(_as_variables(params), x, hebb, train=False)
     pred = out.activout.reshape(x.shape[0], -1)
     tgt = y.reshape(x.shape[0], -1)
     losses = jax.vmap(bce_probs)(pred, tgt)

@@ -133,6 +133,76 @@ class PatchConv3(nn.Module):
         return jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME", dimension_numbers=dn) + bias
 
 
+class QuantConv3(nn.Module):
+    """3x3 SAME conv with int8 serving quantization (ops.quant) — a serving
+    EXTENSION above the bf16 path (the int8 MXU rate is 2x bf16 on v5e).
+    Param names/shapes/inits identical to nn.Conv, so fp32 checkpoints load
+    unchanged; the activation range lives in the 'quant' flax collection
+    (variable "amax"), written in 'calib' mode (plain conv + running
+    max(|input|)) and read in 'int8' mode (quantize -> int8 conv with int32
+    accumulation -> fused dequant+bias)."""
+
+    features: int
+    in_features: int
+    mode: str  # 'calib' | 'int8'
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from plastic_unet_tpu.ops.quant import qconv3_same
+
+        kernel = self.param("kernel", torch_conv_kernel_init, (3, 3, self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(9 * self.in_features), (self.features,))
+        amax = self.variable("quant", "amax", lambda: jnp.zeros((), jnp.float32))
+        if self.mode == "calib":
+            amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            if self.dtype is not None:
+                x, kernel, bias = x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+            lead = x.shape[:-3]
+            x4 = x.reshape((-1,) + x.shape[-3:])
+            dn = jax.lax.conv_dimension_numbers(x4.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(x4, kernel, (1, 1), "SAME", dimension_numbers=dn) + bias
+            return y.reshape(lead + y.shape[-3:])
+        if self.mode != "int8":
+            raise ValueError(f"unknown quant mode {self.mode!r} (want 'calib' or 'int8')")
+        return qconv3_same(x, kernel, bias, amax.value,
+                           out_dtype=self.dtype if self.dtype is not None else jnp.float32)
+
+
+class QuantConvT3(nn.Module):
+    """ConvTranspose k3/s2/VALID with int8 serving quantization (ops.quant).
+    Param names/shapes/inits identical to nn.ConvTranspose(transpose_kernel=
+    True); same calib/int8 contract as QuantConv3."""
+
+    features: int
+    in_features: int
+    mode: str  # 'calib' | 'int8'
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from plastic_unet_tpu.ops.quant import qconvT3_s2_valid
+
+        kernel = self.param("kernel", torch_convT_kernel_init, (3, 3, self.features, self.in_features))
+        bias = self.param("bias", torch_bias_init(9 * self.features), (self.features,))
+        amax = self.variable("quant", "amax", lambda: jnp.zeros((), jnp.float32))
+        if self.mode == "calib":
+            amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            if self.dtype is not None:
+                x, kernel, bias = x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+            lead = x.shape[:-3]
+            x4 = x.reshape((-1,) + x.shape[-3:])
+            y = jax.lax.conv_transpose(
+                x4, kernel, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+            ) + bias
+            return y.reshape(lead + y.shape[-3:])
+        if self.mode != "int8":
+            raise ValueError(f"unknown quant mode {self.mode!r} (want 'calib' or 'int8')")
+        return qconvT3_s2_valid(x, kernel, bias, amax.value,
+                                out_dtype=self.dtype if self.dtype is not None else jnp.float32)
+
+
 def conv3_maybe_fast(features: int, in_features: int, fast: bool, dtype=None, name: str | None = None, patch_max_c: int = 0):
     """Select the conv implementation; explicit name keeps the param path at
     Conv_0 either way. patch_max_c > 0: route levels through PatchConv3
@@ -245,10 +315,13 @@ class ConvModule(nn.Module):
     mask_pad: tuple = (False, False)
     fast_vjp: bool = False
     patch_max_c: int = 0
+    quant: str = ""  # '' | 'calib' | 'int8' (serving PTQ, see QuantConv3)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.folded:
+        if self.quant:
+            x = QuantConv3(self.features, self.features, mode=self.quant, dtype=self.dtype, name="Conv_0")(x)
+        elif self.folded:
             if self.batch_norm:
                 raise NotImplementedError("batch_norm is not supported in folded mode")
             x = FoldedConv3(self.features, self.features, self.mask_pad, self.dtype, name="Conv_0")(x)
@@ -277,6 +350,7 @@ class ResidualBlock(nn.Module):
     mask_pad: tuple = (False, False)
     fast_vjp: bool = False
     patch_max_c: int = 0
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -287,12 +361,12 @@ class ResidualBlock(nn.Module):
         y = ConvModule(
             self.features, batch_norm=self.batch_norm, dtype=self.dtype,
             folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp,
-            patch_max_c=self.patch_max_c,
+            patch_max_c=self.patch_max_c, quant=self.quant,
         )(y, train)
         y = ConvModule(
             self.features, activation=False, batch_norm=self.batch_norm, dtype=self.dtype,
             folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp,
-            patch_max_c=self.patch_max_c,
+            patch_max_c=self.patch_max_c, quant=self.quant,
         )(y, train)
         return y + h
 
@@ -379,18 +453,21 @@ class DownRes(nn.Module):
     fuse_tail: bool = False
     fast_vjp: bool = False
     patch_max_c: int = 0
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.folded:
+        if self.quant:
+            x = QuantConv3(self.features, self.in_features, mode=self.quant, dtype=self.dtype, name="Conv_0")(x)
+        elif self.folded:
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
             x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype, patch_max_c=self.patch_max_c)(x)
         if (self.fuse_tail and not self.batch_norm and self.dtype is None
-                and not self.folded and _use_fused_tail(x, self.features)):
+                and not self.folded and not self.quant and _use_fused_tail(x, self.features)):
             return _fused_tail(self, x, self.features)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c, quant=self.quant)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c, quant=self.quant)(x, train)
         return nn.relu(x)
 
 
@@ -406,18 +483,21 @@ class Middle(nn.Module):
     fuse_tail: bool = False
     fast_vjp: bool = False
     patch_max_c: int = 0
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.folded:
+        if self.quant:
+            x = QuantConv3(self.features, self.in_features, mode=self.quant, dtype=self.dtype, name="Conv_0")(x)
+        elif self.folded:
             x = FoldedConv3(self.features, self.in_features, self.mask_pad, self.dtype, name="Conv_0")(x)
         else:
             x = conv3_maybe_fast(self.features, self.in_features, self.fast_vjp, dtype=self.dtype, patch_max_c=self.patch_max_c)(x)
         if (self.fuse_tail and not self.batch_norm and self.dtype is None
-                and not self.folded and _use_fused_tail(x, self.features)):
+                and not self.folded and not self.quant and _use_fused_tail(x, self.features)):
             return _fused_tail(self, x, self.features)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
-        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c, quant=self.quant)(x, train)
+        x = ResidualBlock(self.features, self.batch_norm, dtype=self.dtype, folded=self.folded, mask_pad=self.mask_pad, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c, quant=self.quant)(x, train)
         return nn.relu(x)
 
 
@@ -455,6 +535,7 @@ class UpRes(nn.Module):
     fuse_tail: bool = False  # fused Pallas residual tail (B=1 fp32)
     fast_vjp: bool = False  # hand-written dw backward for the 3x3 convs
     patch_max_c: int = 0  # im2col-forward convs for levels with Cin <= this
+    quant: str = ""  # '' | 'calib' | 'int8' (serving PTQ)
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -465,7 +546,9 @@ class UpRes(nn.Module):
             use_patch_t = worth_patching_convT(
                 2 * x.shape[-3] + 1, 2 * x.shape[-2] + 1, x.shape[-1], self.patch_max_c
             )
-        if use_patch_t:
+        if self.quant:
+            x = QuantConvT3(self.features, x.shape[-1], mode=self.quant, dtype=self.dtype, name="ConvTranspose_0")(x)
+        elif use_patch_t:
             x = PatchConvT3(self.features, x.shape[-1], name="ConvTranspose_0")(x)
         else:
             x = nn.ConvTranspose(
@@ -495,6 +578,7 @@ class UpRes(nn.Module):
         return Middle(
             self.in_features, self.features, batch_norm=False, dtype=self.dtype,
             fuse_tail=self.fuse_tail, fast_vjp=self.fast_vjp, patch_max_c=self.patch_max_c,
+            quant=self.quant,
         )(x, train)
 
 

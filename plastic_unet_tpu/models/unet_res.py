@@ -62,6 +62,14 @@ class UNetPRes(nn.Module):
     # (the TPU-native HBM <-> FLOPs trade). Bit-identical grads — the replayed
     # ops are deterministic and dropout rngs are replayed by nn.remat — so it
     # is parity-safe; use it to fit larger lane counts / nbf in HBM.
+    quant: str = ""  # int8 serving PTQ: '' off | 'calib' (fp32 forward that
+    # records per-conv activation ranges into the mutable 'quant' collection)
+    # | 'int8' (every trunk 3x3 conv and decoder ConvTranspose runs as an
+    # int8 conv with int32 accumulation — 2x MXU rate on v5e — using the
+    # calibrated ranges; 1x1 outconv and the plastic head stay fp32). A
+    # serving EXTENSION (the reference serves fp32 only, infer.py); params
+    # are UNCHANGED, apply with {'params': ..., 'quant': ...}. See
+    # ops/quant.py and submit/quant.py.
     trunk_pad: int = 0  # MXU-aligned padded trunk (VERDICT r02 item 2): pad the
     # input spatially to (trunk_pad, trunk_pad) — e.g. 101 -> 128 — so every
     # level runs on power-of-two tracks (128/64/32/16/8 instead of the
@@ -80,6 +88,15 @@ class UNetPRes(nn.Module):
         if x.ndim == 3:  # allow unbatched convenience input
             x = x[None]
             hebb = hebb[None] if hebb.ndim == 2 else hebb
+        if self.quant:
+            if self.quant not in ("calib", "int8"):
+                raise ValueError(f"quant must be '', 'calib' or 'int8', got {self.quant!r}")
+            bad = [k for k, v in (("fold_hires", self.fold_hires), ("pallas_trunk", self.pallas_trunk),
+                                  ("fast_dw", self.fast_dw), ("patch_conv", self.patch_conv),
+                                  ("batch_norm", self.batch_norm), ("trunk_pad", self.trunk_pad),
+                                  ("remat_trunk", self.remat_trunk)) if v]
+            if bad:
+                raise ValueError(f"quant={self.quant!r} is a plain serving mode; incompatible with {bad}")
         n = self.neurons
 
         if self.plastic:
@@ -158,23 +175,23 @@ class UNetPRes(nn.Module):
             xc2 = crop_hw(unfold2(z2, n * 2), h1, w1)
             x2 = channel_dropout(crop_hw(pool_phases(z2, n * 2), h1 // 2, w1 // 2), self.dropout_ratio, det)
         else:
-            xc1 = DownResB(n_in, n, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_0")(x, train)
+            xc1 = DownResB(n_in, n, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="DownRes_0")(x, train)
             x1 = channel_dropout(max_pool_2x2(xc1), self.dropout_ratio / 2, det)
-            xc2 = DownResB(n, n * 2, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_1")(x1, train)
+            xc2 = DownResB(n, n * 2, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="DownRes_1")(x1, train)
             x2 = channel_dropout(max_pool_2x2(xc2), self.dropout_ratio, det)
-        xc3 = DownResB(n * 2, n * 4, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_2")(x2, train)
+        xc3 = DownResB(n * 2, n * 4, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="DownRes_2")(x2, train)
         x3 = channel_dropout(max_pool_2x2(xc3), self.dropout_ratio, det)
-        xc4 = DownResB(n * 4, n * 8, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="DownRes_3")(x3, train)
+        xc4 = DownResB(n * 4, n * 8, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="DownRes_3")(x3, train)
         x4 = channel_dropout(max_pool_2x2(xc4), self.dropout_ratio, det)
 
         # Middle
-        x5 = MiddleB(n * 8, n * 16, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="Middle_0")(x4, train)
+        x5 = MiddleB(n * 8, n * 16, self.batch_norm, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="Middle_0")(x4, train)
 
         # Decoder: 6 -> 12 -> 25 -> 50 -> 101 (fold the two high-res middles)
-        u = UpResB(n * 16, n * 8, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_0")(x5, xc4, train)
-        u = UpResB(n * 8, n * 4, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_1")(u, xc3, train)
-        u = UpResB(n * 4, n * 2, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_2")(u, xc2, train)
-        u = UpResB(n * 2, n * 1, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, name="UpRes_3")(u, xc1, train)
+        u = UpResB(n * 16, n * 8, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="UpRes_0")(x5, xc4, train)
+        u = UpResB(n * 8, n * 4, self.dropout_ratio, dtype=dt, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="UpRes_1")(u, xc3, train)
+        u = UpResB(n * 4, n * 2, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="UpRes_2")(u, xc2, train)
+        u = UpResB(n * 2, n * 1, self.dropout_ratio, dtype=dt, fold_middle=self.fold_hires, fuse_tail=self.pallas_trunk, fast_vjp=self.fast_dw, patch_max_c=self.patch_conv, quant=self.quant, name="UpRes_3")(u, xc1, train)
 
         out = conv1(self.n_classes, n, dtype=dt)(u)  # (B, H, W, n_classes)
         if dt is not None:

@@ -83,9 +83,11 @@ def _serving_fn(model, params, transforms: Sequence[str], threshold):
     binary masks when a threshold is baked. TTA views are folded into the
     batch axis of one forward (batch-position-independent in eval mode, so
     exactly equal to per-view passes)."""
+    from plastic_unet_tpu.eval.evaluate import _as_variables
     from plastic_unet_tpu.ops.augment import TTA_TRANSFORMS, tta_batched_apply
     from plastic_unet_tpu.submit.inference import threshold_as_f32
 
+    variables = _as_variables(params)  # accepts int8-serving {'params','quant'} bundles
     transforms = tuple(transforms)
     unknown = [t for t in transforms if t not in TTA_TRANSFORMS]
     if unknown:
@@ -95,12 +97,12 @@ def _serving_fn(model, params, transforms: Sequence[str], threshold):
     def fn(x):
         if transforms == ("identity",):
             hebb = model.initial_zero_hebb(x.shape[0], dtype=x.dtype)
-            pred = model.apply({"params": params}, x, hebb, train=False).activout
+            pred = model.apply(variables, x, hebb, train=False).activout
         else:
 
             def fwd(allv):
                 hebb = model.initial_zero_hebb(allv.shape[0], dtype=allv.dtype)
-                return model.apply({"params": params}, allv, hebb, train=False).activout
+                return model.apply(variables, allv, hebb, train=False).activout
 
             pred = tta_batched_apply(fwd, x, transforms)
         if t32 is not None:

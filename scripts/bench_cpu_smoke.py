@@ -55,6 +55,8 @@ def main():
         ("bench_infer_tta8_bf16", lambda: bench.bench_infer_tta(
             256, compute_dtype=jnp.bfloat16,
             transforms=__import__("plastic_unet_tpu.ops.augment", fromlist=["TTA_VIEWS_8"]).TTA_VIEWS_8)),
+        ("bench_infer_tta_int8", lambda: bench.bench_infer_tta(
+            256, compute_dtype=jnp.bfloat16, quant=True)),
         ("bench_artifact_serving", lambda: bench.bench_artifact_serving(256)),
         ("bench_submission_scale", lambda: bench.bench_submission_scale(300)),
         ("bench_e2e_tuned_run", lambda: bench.bench_e2e_tuned_run(

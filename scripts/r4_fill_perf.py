@@ -21,6 +21,7 @@ LANE_TAG = "<!-- R4_LANE_RESULTS -->"
 LANEPUSH_TAG = "<!-- R4_LANEPUSH_RESULTS -->"
 PIPELINE_TAG = "<!-- R4_PIPELINE_RESULTS -->"
 SERVINGFOLD_TAG = "<!-- R4_SERVINGFOLD_RESULTS -->"
+QUANT_TAG = "<!-- R4_QUANT_RESULTS -->"
 # A generated block ends at the next heading of ANY level (## or ###) —
 # matching only "## " would swallow the ### subsections that follow a tag.
 END_RE = re.compile(r"^#{2,3} ", re.M)
@@ -186,6 +187,23 @@ def render_servingfold(d):
     return "\n".join(lines)
 
 
+def render_quant(d):
+    lines = ["", "| config | imgs/s (2-view TTA) |", "|---|---|"]
+    for key, v in d.items():
+        if key.endswith("_imgs_per_sec"):
+            lines.append(f"| {key[: -len('_imgs_per_sec')]} | {v:.0f} |")
+    sp = d.get("int8_vs_bf16_speedup")
+    if sp is not None:
+        verdict = ("POSITIVE — int8 is the new serving throughput recommendation "
+                   "(quality validated separately, QUALITY.md int8 study)."
+                   if sp > 1.05 else
+                   "below the fusion-overhead bar — the quant/dequant elementwise "
+                   "cost eats the MXU dtype win at this model size; keep int8 opt-in.")
+        lines += ["", f"best int8 vs bf16 speedup: {sp:.2f}x → {verdict}"]
+    lines.append("")
+    return "\n".join(lines)
+
+
 def splice(text, tag, block):
     i = text.index(tag) + len(tag)
     m = END_RE.search(text, i)
@@ -217,6 +235,10 @@ def main():
     if fold and SERVINGFOLD_TAG in text:
         text = splice(text, SERVINGFOLD_TAG, render_servingfold(fold))
         changed.append("servingfold")
+    quant = _load("/tmp/r4_quant.json")
+    if quant and QUANT_TAG in text:
+        text = splice(text, QUANT_TAG, render_quant(quant))
+        changed.append("quant")
     if changed:
         with open(PERF, "w") as f:
             f.write(text)

@@ -25,6 +25,9 @@ secs_left() {
     local now dl
     now=$(date +%s)
     dl=$(date -d "today $DEADLINE" +%s)
+    # A deadline "behind" us by more than 5 min means it crosses midnight
+    # (e.g. supervisor started 21:00 with deadline 07:45): roll to tomorrow.
+    [ $(( dl - now )) -lt -300 ] && dl=$(( dl + 86400 ))
     echo $(( dl - now ))
 }
 
@@ -69,6 +72,9 @@ if [ "$(secs_left)" -ge 14400 ]; then
     run lanepush 10800 python3 scripts/r4_lane_push_probe.py 2048
     wait_healthy
     run servingfold 7200 python3 scripts/r4_serving_fold_probe.py
+    fill
+    wait_healthy
+    run quant 5400 python3 scripts/r4_quant_probe.py
     wait_healthy
     run bench 5400 python3 bench.py
 else
@@ -88,6 +94,9 @@ else
     run lanepush 7200 python3 scripts/r4_lane_push_probe.py 2048
     wait_healthy
     run servingfold 5400 python3 scripts/r4_serving_fold_probe.py
+    fill
+    wait_healthy
+    run quant 5400 python3 scripts/r4_quant_probe.py
 fi
 fill
 note "pipeline done ($(secs_left)s to deadline)"

@@ -148,7 +148,7 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
     )
     monkeypatch.setattr(bench, "bench_infer_tta",
                         lambda n, compute_dtype=None, transforms=("identity", "hflip"),
-                        batch_views=False: (5000.0, 0.3))
+                        batch_views=False, quant=False: (5000.0, 0.3))
     monkeypatch.setattr(bench, "bench_artifact_serving", lambda n: 4000.0)
     monkeypatch.setattr(bench, "bench_submission_scale", lambda n: (3000.0, n / 3000.0))
     monkeypatch.setattr(bench, "bench_vanilla_forward", lambda n: 9000.0)
@@ -169,6 +169,7 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
         "infer_tta_images_per_sec", "mfu_infer_tta",
         "infer_tta_bf16_images_per_sec", "mfu_infer_tta_bf16",
         "infer_tta8_bf16_images_per_sec", "mfu_infer_tta8_bf16",
+        "infer_tta_int8_images_per_sec", "mfu_infer_tta_int8",
         "artifact_infer_bf16_images_per_sec",
         "submission_18k_images_per_sec", "submission_18k_seconds",
         "submission_tiles", "vanilla_forward_images_per_sec",

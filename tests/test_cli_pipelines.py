@@ -84,6 +84,25 @@ def test_infer_cli_fixed_threshold_tta(tgs_dir, pth_file, tmp_path):
     assert len(sub) == 2
 
 
+def test_infer_cli_quant_int8(tgs_dir, pth_file, tmp_path):
+    """--quant int8: calibrate on validation images, search the threshold on
+    the QUANTIZED model, and write a well-formed submission (the int8 PTQ
+    serving extension end-to-end through the reference CLI workflow)."""
+    import pandas as pd
+
+    from plastic_unet_tpu.cli.infer import main
+
+    out = str(tmp_path / "out_q")
+    main(
+        f"--model {pth_file} --data {tgs_dir} --out {out} --neurons 2 "
+        f"--partial --partial-size 2 --quant int8 --quant-calib 4 "
+        f"--precision parity".split()
+    )
+    sub = pd.read_csv(os.path.join(out, "submission.csv"), keep_default_na=False)
+    assert list(sub.columns) == ["id", "rle_mask"]
+    assert len(sub) == 2
+
+
 def test_eval_cli_end_to_end(tgs_dir, pth_file):
     from plastic_unet_tpu.cli.eval import main
 

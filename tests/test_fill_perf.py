@@ -61,7 +61,7 @@ def test_all_tags_present_in_perf():
     fp = _fill()
     text = _perf_text()
     for tag in (fp.SLACK_TAG, fp.LANE_TAG, fp.PIPELINE_TAG, fp.LANEPUSH_TAG,
-                fp.SERVINGFOLD_TAG):
+                fp.SERVINGFOLD_TAG, fp.QUANT_TAG):
         assert tag in text, f"PERF.md placeholder missing: {tag}"
 
 
@@ -79,6 +79,12 @@ def test_renderers_tolerate_partial_and_error_inputs():
     assert "Best config: **lanes128_base**" in out
     out = fp.render_servingfold({"bf16_fold0_tta2_imgs_per_sec": 17800.0})
     assert "17800" in out  # no speedup key yet -> no verdict line, no crash
+    out = fp.render_quant({"bf16_tta2_imgs_per_sec": 17800.0})
+    assert "17800" in out
+    win = fp.render_quant({"int8_vs_bf16_speedup": 1.6})
+    assert "1.60x" in win and "POSITIVE" in win
+    lose = fp.render_quant({"int8_vs_bf16_speedup": 1.01})
+    assert "opt-in" in lose
 
 
 def test_pipeline_verdict_lines():

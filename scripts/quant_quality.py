@@ -16,7 +16,7 @@ three ways:
     deployment recipe).
 
 Writes results/quant_quality.json. CPU-runnable (PLASTIC_UNET_PLATFORM=cpu);
-env knobs: QQ_EPOCHS, QQ_TRAIN, QQ_VAL, QQ_SEED, QQ_RULE.
+env knobs: QQ_EPOCHS, QQ_TRAIN, QQ_VAL, QQ_SEED, QQ_RULE, QQ_OUT.
 """
 
 from __future__ import annotations
@@ -119,7 +119,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     os.makedirs("results", exist_ok=True)
-    with open("results/quant_quality.json", "w") as f:
+    with open(os.environ.get("QQ_OUT", "results/quant_quality.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
 

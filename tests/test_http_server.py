@@ -63,6 +63,34 @@ def test_predict_rle(server, rng):
     assert rles == predictor.predict_rle(imgs)
 
 
+def test_serve_int8_artifact(tmp_path, rng):
+    """The int8 deployment recipe end-to-end: calibrate + quantize
+    (submit/quant.py), export the int8 serving graph to a StableHLO artifact,
+    and serve THAT over HTTP (the `plastic-unet-serve --artifact` path) —
+    responses equal the live quantized forward bit-for-bit."""
+    from plastic_unet_tpu.eval.evaluate import predict_masks
+    from plastic_unet_tpu.submit.export import export_predictor, load_predictor
+    from plastic_unet_tpu.submit.quant import quantize_for_serving
+
+    model = UNetPRes(nbf=SIZE, neurons=2)
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1)), model.initial_zero_hebb(1))
+    Xcal = jnp.asarray(rng.random((6, SIZE, SIZE, 1)).astype(np.float32))
+    qmodel, qvars = quantize_for_serving(model, vs["params"], Xcal, chunk=4)
+    path = export_predictor(qmodel, qvars, str(tmp_path / "art_int8"), chunk=4, platforms=("cpu",))
+    srv = serve(load_predictor(path).warmup(), port=0, block=False)
+    try:
+        imgs = rng.standard_normal((3, SIZE, SIZE)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, imgs, allow_pickle=False)
+        req = urllib.request.Request(_url(srv, "/predict"), data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            preds = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        want = np.asarray(predict_masks(qmodel, qvars, imgs[..., None], chunk=4))
+        np.testing.assert_array_equal(preds, want)
+    finally:
+        srv.shutdown()
+
+
 def test_cli_defaults_use_measured_chunk():
     """The serve CLI's --chunk default must match MaskPredictor's measured
     sweet spot (128, PERF.md serving section) — VERDICT r02 weak #4."""

@@ -45,7 +45,10 @@ run() { # run <name> <default_timeout_s> <cmd...>
     local budget=$(( want < left ? want : left ))
     if [ "$budget" -lt 600 ]; then note "$name SKIPPED (only ${left}s to deadline)"; return 1; fi
     note "$name start (timeout ${budget}s)"
-    timeout "$budget" "$@" > "$L/$name.log" 2>&1
+    # bench.py self-terminates via its SIGALRM watchdog 120 s before the
+    # external timeout would SIGTERM it mid-claim (a kill wedges the relay
+    # for ~20-30 min; the watchdog path emits honest-failure JSON instead).
+    BENCH_WATCHDOG_SECS=$(( budget - 120 )) timeout "$budget" "$@" > "$L/$name.log" 2>&1
     note "$name rc=$?"
 }
 wait_healthy() {

@@ -60,12 +60,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fold up to K epochs into one jitted scan (amortizes "
                         "dispatch overhead for small sweep-sized epochs; "
                         "1 = reference-exact dispatch cadence)")
-    p.add_argument("--pipelined", action="store_true", default=False,
-                   help="delayed-gradient pipelined epoch: each sample's "
-                        "forward/grads run at stale-by-one params so XLA can "
-                        "overlap the next forward with the pending backward+"
-                        "Adam (B=1 latency lever; diverges from the reference "
-                        "trajectory by one update of staleness)")
     p.add_argument("--augment", action="store_true", default=False, help="random flip/rotate augmentation")
     p.add_argument("--shuffle", action="store_true", default=False,
                    help="per-epoch stream shuffle (shard-local under --devices)")
@@ -166,7 +160,6 @@ def main(argv=None):
         trunk_pad=args.trunk_pad,
         compute_dtype=args.compute_dtype,
         epochs_per_dispatch=args.epochs_per_dispatch,
-        pipelined=args.pipelined,
         augment=args.augment,
         shuffle=args.shuffle,
         plastic=not args.no_plastic,

@@ -82,13 +82,10 @@ class TrainConfig:
     # the data-parallel path (devices>1 routes through
     # parallel.dp.make_dp_multi_epoch_fn — bit-identical to per-epoch DP
     # dispatches, tests/test_multi_epoch.py).
-    pipelined: bool = False  # delayed-gradient (stale-by-one) pipelined epoch:
-    # sample i's forward/grads run at the params with updates 0..i-2 applied,
-    # so the next forward and the pending backward+Adam are independent
-    # subgraphs XLA may interleave (the B=1 latency lever; train/pipelined.py).
-    # Documented DIVERGENCE from the reference trajectory — S samples still
-    # get exactly S updates and the trace chains in stream order
-    # (tests/test_pipelined.py). Single-device only; epochs_per_dispatch=1.
+    # (REMOVED round 5: cfg.pipelined, the delayed-gradient stale-by-one
+    # epoch — measured 0.68-0.69x in every regime, B=1 and lane scale; see
+    # PERF.md "Measured negative results". The B=1 dependency chain is the
+    # floor; the slack probe showed no idle execution to hide a forward in.)
     quirk_epoch_loss: bool = True  # reproduce train.py:115 (all_losses[-N] scalar)
     trace_mode: str = "per_device"  # 'per_device' (faithful) | 'pmean' (throughput)
     resume_orbax: str = ""  # path to an orbax TrainState for exact resume

@@ -159,16 +159,6 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
     Y = jnp.asarray(np.asarray(y_train, np.float32).reshape(y_train.shape[0], cfg.im_height, cfg.im_width))
 
     tx = adam_step_lr(cfg.lr, cfg.gamma, cfg.steplr)
-    if cfg.pipelined and cfg.devices > 1:
-        raise ValueError(
-            "pipelined (delayed-gradient) training is single-device only; "
-            "combine lanes/pipelined or use devices>1 data parallelism, not both"
-        )
-    if cfg.pipelined and cfg.epochs_per_dispatch > 1:
-        raise ValueError(
-            "pipelined training has no multi-epoch dispatch path; "
-            "set epochs_per_dispatch=1"
-        )
     shuffle_fn = None
     if cfg.devices > 1:
         from plastic_unet_tpu.parallel import make_dp_epoch_fn, make_mesh, shard_stream
@@ -191,12 +181,7 @@ def train(model, state: TrainState, x_train, x_val, y_train, y_val, cfg: TrainCo
             shuffle_fn = make_shard_shuffle_fn(mesh)
     else:
         Xl, Yl = reshape_stream(X, Y, cfg.lanes)
-        if cfg.pipelined:
-            from plastic_unet_tpu.train.pipelined import make_pipelined_epoch_fn
-
-            epoch_fn = make_pipelined_epoch_fn(model, tx, loss_space=cfg.loss_space, donate=True)
-        else:
-            epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)
+        epoch_fn = make_epoch_fn(model, tx, loss_space=cfg.loss_space, lanes=cfg.lanes, donate=True)
     # one recorded loss per step (in lane mode each step covers all lanes
     # and records their mean; at lanes=1/devices=1 this is the reference's
     # one-loss-per-sample bookkeeping)

@@ -1,6 +1,10 @@
 #!/usr/bin/env python3
-"""Round-4 measurement of the pipelined (delayed-gradient) B=1 mode
-(train/pipelined.py) — the constructive counterpart of the slack probe:
+"""ARCHIVAL (round 4; no longer runnable): the pipelined mode it measured
+was removed in round 5 after measuring 0.68-0.69x in every regime — this
+script is kept only as provenance for results/r4_probes/r4_b1_pipeline.json.
+
+Round-4 measurement of the pipelined (delayed-gradient) B=1 mode
+(then train/pipelined.py) — the constructive counterpart of the slack probe:
 instead of a ghost forward, this measures the REAL proposed transformation
 (stale-by-one params; the next forward and the pending backward+Adam are
 independent subgraphs XLA may interleave).

@@ -42,15 +42,9 @@ def main():
             ("remat", {"remat_trunk": True}),
             ("fold", {"fold_hires": True}),
             ("fold_remat", {"fold_hires": True, "remat_trunk": True}),
-            # delayed-gradient pipeline at lane scale: if the saturated step
-            # has HBM-bound bubbles, interleaving the next forward with the
-            # pending backward can fill them (carries one step's residuals
-            # in the scan carry — an OOM here is caught as a per-config error)
-            ("pipe", {"pipelined": True}),
-            # remat shrinks the carried residuals to block boundaries
-            # (bit-identical grads), making the pipeline affordable in HBM
-            # at high lane counts
-            ("pipe_remat", {"pipelined": True, "remat_trunk": True}),
+            # (round 5: the pipe/pipe_remat variants were removed along with
+            # cfg.pipelined — measured 0.68-0.69x everywhere, PERF.md; their
+            # round-4 numbers live in results/r4_probes/r4_lane_push.json)
         ):
             key = f"lanes{lanes}_{name}"
             try:

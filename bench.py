@@ -79,7 +79,7 @@ class _CacheProbe:
 
 def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", coord_conv: bool = False,
                 patch_conv: int = 0, fold_hires: bool = False, remat_trunk: bool = False,
-                pipelined: bool = False):
+                fast_dw: bool = False):
     """Returns (imgs_per_sec, compile_seconds, mfu_or_None).
 
     patch_conv=32 is the measured-best B=1 parity configuration (im2col-
@@ -102,7 +102,7 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
 
     model = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule=rule,
                      compute_dtype=compute_dtype, coord_conv=coord_conv, patch_conv=patch_conv,
-                     fold_hires=fold_hires, remat_trunk=remat_trunk)
+                     fold_hires=fold_hires, remat_trunk=remat_trunk, fast_dw=fast_dw)
     tx = adam_step_lr(3e-4, 0.666, 1e5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), (101, 101, 1), lanes=lanes)
 
@@ -116,16 +116,7 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     Y = jnp.asarray(masks[:, 0])
     Xl, Yl = reshape_stream(X, Y, lanes=lanes)
 
-    if pipelined:
-        # delayed-gradient pipelined epoch (train/pipelined.py): stale-by-one
-        # params let XLA overlap the next forward with the pending backward.
-        # Same per-sample FLOPs as the sequential step, so the MFU numerator
-        # below (canonical step cost_analysis) carries over unchanged.
-        from plastic_unet_tpu.train.pipelined import make_pipelined_epoch_fn
-
-        epoch_fn = make_pipelined_epoch_fn(model, tx, loss_space="logits", donate=False)
-    else:
-        epoch_fn = make_epoch_fn(model, tx, loss_space="logits", donate=False)
+    epoch_fn = make_epoch_fn(model, tx, loss_space="logits", donate=False)
     rng = jax.random.PRNGKey(1)
 
     # XLA's own FLOP count of ONE training step (for MFU). Analyzed on a
@@ -136,7 +127,7 @@ def bench_train(lanes: int, steps: int, compute_dtype=None, rule: str = "hebb", 
     try:
         from plastic_unet_tpu.train.loop import make_train_step
 
-        if fold_hires or remat_trunk:  # canonical-representation twin (see docstring)
+        if fold_hires or remat_trunk or fast_dw:  # canonical-representation twin (see docstring)
             model_ca = UNetPRes(n_channels=1, n_classes=1, nbf=101, neurons=16, rule=rule,
                                 compute_dtype=compute_dtype, coord_conv=coord_conv,
                                 patch_conv=patch_conv)
@@ -326,7 +317,7 @@ def bench_artifact_serving(n_infer: int):
     return n_infer / dt
 
 
-def bench_submission_scale(n_tiles: int):
+def bench_submission_scale(n_tiles: int, quant: bool = False):
     """Submission-scale serving rehearsal (VERDICT r03 item 6): the
     reference's real workload is the 18k-tile TGS test set
     (/root/reference/src/infer.py:73, data_set.py:68-94). Rehearse it at
@@ -334,6 +325,10 @@ def bench_submission_scale(n_tiles: int):
     binarization threshold, chunked numpy-in predict -> uint8 masks ->
     batch RLE -> submission.csv — and time the warm pass end-to-end
     (device transfers, RLE encode and CSV write included).
+
+    quant=True runs the same rehearsal through an int8 PTQ artifact
+    (round 5: int8 is the serving recommendation — the artifact path must
+    carry the win to the real workload, not just the on-device loop).
 
     Returns (imgs_per_sec, seconds)."""
     import shutil
@@ -360,6 +355,11 @@ def bench_submission_scale(n_tiles: int):
     reps = -(-n_tiles // base)
     X = np.tile(X, (reps, 1, 1, 1))[:n_tiles]
     ids = [f"tile{i:05d}" for i in range(n_tiles)]
+
+    if quant:
+        from plastic_unet_tpu.submit.quant import quantize_for_serving
+
+        model, params = quantize_for_serving(model, params, jnp.asarray(X[:256]))
 
     td = tempfile.mkdtemp(prefix="bench_subm_")
     try:
@@ -447,6 +447,14 @@ _RESULTS: dict = {}
 _ERRORS: dict = {}
 _EMITTED = False
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_partial.json")
+_T_START = time.time()
+_DEADLINE: float | None = None  # absolute wall-clock deadline; main() sets it
+
+
+def _remaining() -> float:
+    """Seconds left before the absolute deadline (inf when none is armed —
+    e.g. when stages are driven directly from tests)."""
+    return float("inf") if _DEADLINE is None else _DEADLINE - time.time()
 
 
 def _checkpoint():
@@ -478,6 +486,24 @@ def _stage(key, fn, *args, **kw):
         return None
 
 
+# Conservative floor for one more stage: a cold relay session loads a big
+# epoch executable in 230-570 s (PERF.md compile-cache section); a stage that
+# cannot possibly finish should be SKIPPED (recorded as such), letting the
+# already-measured record emit cleanly instead of dying at the alarm.
+_STAGE_MIN_SECS = float(os.environ.get("BENCH_STAGE_MIN_SECS", 300))
+
+
+def _stage_budgeted(key, fn, *args, **kw):
+    """_stage, but skipped (and recorded as skipped) when the deadline is too
+    close for another stage. Core stages use plain _stage — they run even
+    close to the wire, because a partial core number beats none."""
+    if _remaining() < _STAGE_MIN_SECS:
+        _ERRORS[key] = f"skipped: {max(int(_remaining()), 0)}s left before the bench deadline"
+        _checkpoint()
+        return None
+    return _stage(key, fn, *args, **kw)
+
+
 def _emit(error: str | None = None):
     """Print THE one bench JSON line from everything accumulated so far."""
     global _EMITTED
@@ -504,6 +530,9 @@ def _emit(error: str | None = None):
         result["infer_vs_baseline"] = round(infer_ips / baseline["infer_images_per_sec"], 1)
     result["mfu_peak_ref_tflops"] = 197
     result["mfu_denominator_note"] = _MFU_NOTE
+    result["elapsed_seconds"] = round(time.time() - _T_START, 1)
+    if _DEADLINE is not None:
+        result["budget_seconds"] = round(_DEADLINE - _T_START)
     result["relay_session_note"] = (
         "first-call latency through the axon relay includes server-side "
         "executable load that the local XLA cache cannot skip; see PERF.md"
@@ -518,15 +547,37 @@ def _emit(error: str | None = None):
 
 def _watchdog(seconds: int):
     """The TPU relay in this environment occasionally wedges (see PERF.md);
-    emit an honest (partial-results) record instead of hanging the round."""
+    emit an honest (partial-results) record instead of hanging the round.
+
+    The alarm is clamped to the ABSOLUTE deadline (ADVICE r04 medium: the
+    round-4 re-arm used the full value after a slow backend init, pushing
+    the alarm past the driver's external timeout — which then SIGTERM-killed
+    the process mid-claim with no JSON at all). Re-arming never extends the
+    total budget."""
     import signal
 
+    eff = seconds if _DEADLINE is None else max(60, min(seconds, int(_remaining())))
+
     def on_timeout(signum, frame):
-        _emit(error=f"bench watchdog fired after {seconds}s (TPU relay unresponsive)")
+        _emit(error=f"bench watchdog fired after {time.time() - _T_START:.0f}s "
+                    "(deadline reached; partial results emitted)")
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_timeout)
-    signal.alarm(seconds)
+    signal.alarm(eff)
+
+
+def _install_sigterm_handler():
+    """The driver kills a over-budget bench with SIGTERM (`timeout`): round 4
+    produced NO record on that path. Emit the partial JSON and exit."""
+    import signal
+
+    def on_term(signum, frame):
+        _emit(error=f"SIGTERM after {time.time() - _T_START:.0f}s (external "
+                    "timeout); partial results emitted")
+        os._exit(2)
+
+    signal.signal(signal.SIGTERM, on_term)
 
 
 def _devices_with_retry(max_wait: float):
@@ -580,13 +631,18 @@ def _run():
     enable_compilation_cache()
 
     # BENCH_r03 died here (rc=1, 'Unable to initialize backend', no record):
-    # retry through the relay wedge window before giving up.
-    dev = _devices_with_retry(float(os.environ.get("BENCH_INIT_RETRY_SECS", 1500)))[0]
+    # retry through the relay wedge window before giving up — but never spend
+    # so long initializing that no measurement time remains (round 4's
+    # incoherent budget: 1500s retry + full 3600s re-arm > driver window).
+    retry = float(os.environ.get("BENCH_INIT_RETRY_SECS", 1500))
+    if _DEADLINE is not None:
+        retry = min(retry, max(120.0, _remaining() - 600.0))
+    dev = _devices_with_retry(retry)[0]
     _RESULTS["device"] = str(dev)
     _checkpoint()
-    # re-arm the watchdog: init retries may have consumed a large slice of
-    # the original window, and the watchdog guards hangs, not total runtime
-    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", 3600)))
+    # re-arm the watchdog for the REMAINING window (clamped inside _watchdog
+    # to the absolute deadline — it guards the total budget, never extends it)
+    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", 2400)))
 
     # Headline at the real TGS epoch scale (3,200 train samples/epoch) so
     # per-dispatch/readback overhead is amortized the way a real run would be.
@@ -597,6 +653,9 @@ def _run():
 
     import jax.numpy as jnp
 
+    # --- Core trio, front-loaded (VERDICT r04 item 2): the three numbers the
+    # round is judged on run FIRST and unconditionally — headline parity
+    # train, int8 serving (the best MFU in the suite), 128-lane training.
     cache_probe = _CacheProbe()
     r = _stage("train_headline", bench_train, lanes=1, steps=steps, patch_conv=32)
     if r:
@@ -612,58 +671,6 @@ def _run():
         _RESULTS["compile_cache_hit"] = cache_probe.hit()
         _checkpoint()
 
-    r = _stage("train_parity_plain_xla", bench_train, lanes=1, steps=max(steps // 4, 256))
-    if r:
-        _put("train_parity_plain_xla_images_per_sec", r[0])
-    # B=1 throughput mode: bf16 trunk + im2col-forward convs (round 3 — the
-    # measured-best single-stream configuration; fp32 patch_conv=32 above
-    # remains the reference-precision headline)
-    r = _stage("train_b1_bf16_patch", bench_train, lanes=1, steps=max(steps // 2, 256),
-               compute_dtype=jnp.bfloat16, patch_conv=32)
-    if r:
-        _put("train_b1_bf16_patch_images_per_sec", r[0])
-    # round 4: the delayed-gradient pipelined mode at the same configuration
-    # (documented divergence — one update of gradient staleness; see
-    # train/pipelined.py + PERF.md). Captured in the official record so the
-    # B=1 latency story is driver-verified, win or lose.
-    r = _stage("train_b1_bf16_patch_pipelined", bench_train, lanes=1, steps=max(steps // 2, 256),
-               compute_dtype=jnp.bfloat16, patch_conv=32, pipelined=True)
-    if r:
-        _put("train_b1_bf16_patch_pipelined_images_per_sec", r[0])
-    r = _stage("train_8lane", bench_train, lanes=8, steps=max(steps // 32, 32))
-    if r:
-        _put("train_8lane_images_per_sec", r[0])
-    r = _stage("train_8lane_bf16", bench_train, lanes=8, steps=max(steps // 32, 32),
-               compute_dtype=jnp.bfloat16)
-    if r:
-        _put("train_8lane_bf16_images_per_sec", r[0])
-    r = _stage("train_128lane_bf16", bench_train, lanes=128, steps=12, compute_dtype=jnp.bfloat16)
-    if r:
-        _put("train_128lane_bf16_images_per_sec", r[0])
-        _put("compile_seconds_128lane", r[1])
-        _put("mfu_128lane_bf16", r[2], nd=4)
-    r = _stage("train_256lane_bf16", bench_train, lanes=256, steps=8, compute_dtype=jnp.bfloat16)
-    if r:
-        _put("train_256lane_bf16_images_per_sec", r[0])
-        _put("mfu_256lane_bf16", r[2], nd=4)
-
-    r = _stage("infer_tta", bench_infer_tta, n_infer)
-    if r:
-        _put("infer_tta_images_per_sec", r[0])
-        _put("mfu_infer_tta", r[1], nd=4)
-    r = _stage("infer_tta_bf16", bench_infer_tta, n_infer, compute_dtype=jnp.bfloat16)
-    if r:
-        _put("infer_tta_bf16_images_per_sec", r[0])
-        _put("mfu_infer_tta_bf16", r[1], nd=4)
-    # full dihedral group (8 views) — VERDICT r02 item 5's serving point
-    from plastic_unet_tpu.ops.augment import TTA_VIEWS_8
-
-    r = _stage("infer_tta8_bf16", bench_infer_tta, n_infer, compute_dtype=jnp.bfloat16,
-               transforms=TTA_VIEWS_8)
-    if r:
-        _put("infer_tta8_bf16_images_per_sec", r[0])
-        _put("mfu_infer_tta8_bf16", r[1], nd=4)
-
     # round 4: int8 PTQ serving (2x MXU dtype rate over bf16; quality study
     # in QUALITY.md, numerics in tests/test_quant.py). bf16 dequant output.
     r = _stage("infer_tta_int8", bench_infer_tta, n_infer, compute_dtype=jnp.bfloat16,
@@ -671,34 +678,96 @@ def _run():
     if r:
         _put("infer_tta_int8_images_per_sec", r[0])
         _put("mfu_infer_tta_int8", r[1], nd=4)
+    r = _stage("train_128lane_bf16", bench_train, lanes=128, steps=12, compute_dtype=jnp.bfloat16)
+    if r:
+        _put("train_128lane_bf16_images_per_sec", r[0])
+        _put("compile_seconds_128lane", r[1])
+        _put("mfu_128lane_bf16", r[2], nd=4)
 
-    r = _stage("artifact_infer_bf16", bench_artifact_serving, min(n_infer, 2048))
+    # --- Everything below is deadline-budgeted: a stage that cannot finish
+    # before the absolute deadline is recorded as skipped, so the record
+    # always emits cleanly with whatever was measured.
+    r = _stage_budgeted("infer_tta_bf16", bench_infer_tta, n_infer, compute_dtype=jnp.bfloat16)
+    if r:
+        _put("infer_tta_bf16_images_per_sec", r[0])
+        _put("mfu_infer_tta_bf16", r[1], nd=4)
+    r = _stage_budgeted("infer_tta", bench_infer_tta, n_infer)
+    if r:
+        _put("infer_tta_images_per_sec", r[0])
+        _put("mfu_infer_tta", r[1], nd=4)
+    # full dihedral group (8 views) — VERDICT r02 item 5's serving point
+    from plastic_unet_tpu.ops.augment import TTA_VIEWS_8
+
+    r = _stage_budgeted("infer_tta8_bf16", bench_infer_tta, n_infer, compute_dtype=jnp.bfloat16,
+                        transforms=TTA_VIEWS_8)
+    if r:
+        _put("infer_tta8_bf16_images_per_sec", r[0])
+        _put("mfu_infer_tta8_bf16", r[1], nd=4)
+    # round 5 (VERDICT r04 item 4): int8 on the full dihedral group — the
+    # serving recommendation must hold at 8 views, not just 2
+    r = _stage_budgeted("infer_tta8_int8", bench_infer_tta, n_infer, compute_dtype=jnp.bfloat16,
+                        transforms=TTA_VIEWS_8, quant=True)
+    if r:
+        _put("infer_tta8_int8_images_per_sec", r[0])
+        _put("mfu_infer_tta8_int8", r[1], nd=4)
+
+    # B=1 throughput mode: bf16 trunk + im2col-forward convs (round 3 — the
+    # measured-best single-stream configuration; fp32 patch_conv=32 above
+    # remains the reference-precision headline)
+    r = _stage_budgeted("train_b1_bf16_patch", bench_train, lanes=1, steps=max(steps // 2, 256),
+                        compute_dtype=jnp.bfloat16, patch_conv=32)
+    if r:
+        _put("train_b1_bf16_patch_images_per_sec", r[0])
+    r = _stage_budgeted("train_parity_plain_xla", bench_train, lanes=1, steps=max(steps // 4, 256))
+    if r:
+        _put("train_parity_plain_xla_images_per_sec", r[0])
+    r = _stage_budgeted("train_8lane", bench_train, lanes=8, steps=max(steps // 32, 32))
+    if r:
+        _put("train_8lane_images_per_sec", r[0])
+    r = _stage_budgeted("train_8lane_bf16", bench_train, lanes=8, steps=max(steps // 32, 32),
+                        compute_dtype=jnp.bfloat16)
+    if r:
+        _put("train_8lane_bf16_images_per_sec", r[0])
+    r = _stage_budgeted("train_256lane_bf16", bench_train, lanes=256, steps=8,
+                        compute_dtype=jnp.bfloat16)
+    if r:
+        _put("train_256lane_bf16_images_per_sec", r[0])
+        _put("mfu_256lane_bf16", r[2], nd=4)
+
+    r = _stage_budgeted("artifact_infer_bf16", bench_artifact_serving, min(n_infer, 2048))
     if r:
         _put("artifact_infer_bf16_images_per_sec", r)
     # submission-scale rehearsal (VERDICT r03 item 6): the reference's real
     # 18k-tile workload end-to-end through the deployment artifact
     n_subm = int(os.environ.get("BENCH_SUBMISSION_TILES", 18000))
     if n_subm > 0:
-        r = _stage("submission_scale", bench_submission_scale, n_subm)
+        r = _stage_budgeted("submission_scale", bench_submission_scale, n_subm)
         if r:
             _put("submission_18k_images_per_sec", r[0])
             _put("submission_18k_seconds", r[1])
             _RESULTS["submission_tiles"] = n_subm
             _checkpoint()
+        # round 5: the same rehearsal through the int8 PTQ artifact (the
+        # recommended deployment config carries to the real 18k workload)
+        r = _stage_budgeted("submission_scale_int8", bench_submission_scale, n_subm, quant=True)
+        if r:
+            _put("submission_18k_int8_images_per_sec", r[0])
+            _put("submission_18k_int8_seconds", r[1])
 
-    r = _stage("vanilla_forward", bench_vanilla_forward, min(n_infer, 256))
+    r = _stage_budgeted("vanilla_forward", bench_vanilla_forward, min(n_infer, 256))
     if r:
         _put("vanilla_forward_images_per_sec", r)
-    r = _stage("oja_epoch_with_eval", bench_oja_epoch_with_eval, min(max(steps // 2, 64), 512))
+    r = _stage_budgeted("oja_epoch_with_eval", bench_oja_epoch_with_eval,
+                        min(max(steps // 2, 64), 512))
     if r:
         _put("oja_epoch_with_eval_images_per_sec", r)
-    r = _stage("coordconv_plastic_train", bench_train, lanes=8, steps=32, coord_conv=True)
+    r = _stage_budgeted("coordconv_plastic_train", bench_train, lanes=8, steps=32, coord_conv=True)
     if r:
         _put("coordconv_plastic_train_images_per_sec", r[0])
-    r = _stage("e2e_tuned_run", bench_e2e_tuned_run,
-               train_samples=int(os.environ.get("BENCH_E2E_TRAIN_SAMPLES", 512)),
-               epochs=int(os.environ.get("BENCH_E2E_EPOCHS", 2)),
-               n_test=int(os.environ.get("BENCH_E2E_TEST_SAMPLES", 1024)))
+    r = _stage_budgeted("e2e_tuned_run", bench_e2e_tuned_run,
+                        train_samples=int(os.environ.get("BENCH_E2E_TRAIN_SAMPLES", 512)),
+                        epochs=int(os.environ.get("BENCH_E2E_EPOCHS", 2)),
+                        n_test=int(os.environ.get("BENCH_E2E_TEST_SAMPLES", 1024)))
     if r:
         _put("e2e_tuned_run_images_per_sec", r[0])
         _put("e2e_tuned_run_seconds", r[1])
@@ -708,11 +777,17 @@ def main():
     import sys
     import traceback
 
-    # 3600: the relay backend's server-side executable compile/load for the
-    # big epoch graphs was measured at 230-570 s per graph depending on
-    # session (PERF.md compile-cache section) — a 1200 s watchdog could fire
-    # on a slow-but-healthy session. The watchdog guards hangs, not slowness.
-    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", 3600)))
+    global _DEADLINE
+    # 2400 s (40 min) TOTAL wall budget, conservatively under the driver's
+    # external timeout (round 4's rc=124 proved budgets must be absolute):
+    # init retry, every stage, and the watchdog all share this one deadline.
+    # The relay's server-side executable load is 230-570 s per big graph in
+    # a bad session — the front-loaded core trio still fits; later stages
+    # degrade to recorded skips rather than a mid-claim kill.
+    budget = int(os.environ.get("BENCH_WATCHDOG_SECS", 2400))
+    _DEADLINE = _T_START + budget
+    _install_sigterm_handler()
+    _watchdog(budget)
     try:
         _run()
     except BaseException as e:  # noqa: BLE001 — the record must out-survive anything

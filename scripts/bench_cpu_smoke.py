@@ -8,8 +8,12 @@ have executed on hardware before the driver runs them).
 Complements tests/test_bench_harness.py, which covers the harness wiring
 with STUBBED stage bodies — this runs the real ones.
 
-Usage:  PLASTIC_UNET_PLATFORM=cpu python3 scripts/bench_cpu_smoke.py
-Exit code 0 iff every stage body ran to completion.
+Usage:  PLASTIC_UNET_PLATFORM=cpu python3 scripts/bench_cpu_smoke.py [substr ...]
+With args, only stages whose name contains one of the substrings run (the
+int8 stages constant-fold pathologically slowly on CPU — a full pass can
+exceed 30 min on the 1-core host, so re-runs after a bench.py edit usually
+want just the touched stages).
+Exit code 0 iff every selected stage body ran to completion.
 """
 
 import importlib.util
@@ -46,8 +50,6 @@ def main():
             lanes=2, steps=4, compute_dtype=jnp.bfloat16)),
         ("bench_train_fold_remat", lambda: bench.bench_train(
             lanes=2, steps=4, compute_dtype=jnp.bfloat16, fold_hires=True, remat_trunk=True)),
-        ("bench_train_b1_pipelined", lambda: bench.bench_train(
-            lanes=1, steps=4, compute_dtype=jnp.bfloat16, patch_conv=32, pipelined=True)),
         ("bench_train_coordconv", lambda: bench.bench_train(lanes=2, steps=4, coord_conv=True)),
         ("bench_vanilla_forward", lambda: bench.bench_vanilla_forward(32)),
         ("bench_oja_epoch_with_eval", lambda: bench.bench_oja_epoch_with_eval(16)),
@@ -59,9 +61,18 @@ def main():
             256, compute_dtype=jnp.bfloat16, quant=True)),
         ("bench_artifact_serving", lambda: bench.bench_artifact_serving(256)),
         ("bench_submission_scale", lambda: bench.bench_submission_scale(300)),
+        ("bench_submission_scale_int8", lambda: bench.bench_submission_scale(300, quant=True)),
+        ("bench_infer_tta8_int8", lambda: bench.bench_infer_tta(
+            256, compute_dtype=jnp.bfloat16, quant=True,
+            transforms=__import__("plastic_unet_tpu.ops.augment", fromlist=["TTA_VIEWS_8"]).TTA_VIEWS_8)),
         ("bench_e2e_tuned_run", lambda: bench.bench_e2e_tuned_run(
             train_samples=16, epochs=1, n_test=64)),
     ]
+
+    if len(sys.argv) > 1:
+        want = sys.argv[1:]
+        stages = [(n, t) for (n, t) in stages if any(w in n for w in want)]
+        print(f"selected {len(stages)} stage(s): {[n for n, _ in stages]}", flush=True)
 
     failures = {}
     for name, thunk in stages:

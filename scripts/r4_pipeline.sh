@@ -1,4 +1,9 @@
 #!/bin/bash
+# ARCHIVAL (round 4) — kept as provenance for results/r4_probes/. Round 5
+# runs probes interactively (committed as each lands) instead of via a
+# round-end supervisor: this pipeline held the relay at the round-4
+# snapshot and starved the driver's bench (VERDICT r04 weak #1).
+#
 # Round-4 TPU measurement pipeline (supervisor).
 # Usage: r4_pipeline.sh <waiter_output_log> <waiter_pid> [deadline_HH:MM]
 #
@@ -45,9 +50,11 @@ run() { # run <name> <default_timeout_s> <cmd...>
     local budget=$(( want < left ? want : left ))
     if [ "$budget" -lt 600 ]; then note "$name SKIPPED (only ${left}s to deadline)"; return 1; fi
     note "$name start (timeout ${budget}s)"
-    # bench.py self-terminates via its SIGALRM watchdog 120 s before the
-    # external timeout would SIGTERM it mid-claim (a kill wedges the relay
-    # for ~20-30 min; the watchdog path emits honest-failure JSON instead).
+    # BENCH_WATCHDOG_SECS is read ONLY by the bench.py stage (ADVICE r04
+    # low: probe stages are still SIGTERM-killed at their budget). Round-5
+    # bench.py treats it as an ABSOLUTE wall budget from process start and
+    # also traps SIGTERM (ADVICE r04 medium: the old re-arm-after-init could
+    # push the alarm past the external kill; now it clamps to the deadline).
     BENCH_WATCHDOG_SECS=$(( budget - 120 )) timeout "$budget" "$@" > "$L/$name.log" 2>&1
     note "$name rc=$?"
 }

@@ -132,6 +132,54 @@ def test_main_emits_json_on_crash(bench, monkeypatch, tmp_path, capsys):
     assert "synthetic mid-run crash" in rec["error"]
 
 
+def test_sigterm_emits_partial_record(bench, monkeypatch, tmp_path, capsys):
+    """Round 4's driver kill (external `timeout` -> SIGTERM) produced NO
+    JSON at all; the handler must emit the partial record and exit 2."""
+    import signal
+
+    bench._PARTIAL_PATH = str(tmp_path / "partial.json")
+    bench._put("train_images_per_sec", 555.0)
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    bench._install_sigterm_handler()
+    handler = signal.getsignal(signal.SIGTERM)
+    handler(signal.SIGTERM, None)
+    assert exits == [2]
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 555.0
+    assert "SIGTERM" in rec["error"]
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+
+def test_watchdog_clamped_to_absolute_deadline(bench, monkeypatch):
+    """ADVICE r04 medium: re-arming after a slow init must NOT extend the
+    alarm past the absolute deadline."""
+    import signal
+    import time as _time
+
+    armed = []
+    monkeypatch.setattr(signal, "alarm", lambda s: armed.append(s))
+    bench._DEADLINE = _time.time() + 100
+    bench._watchdog(3600)  # full re-arm request
+    assert 60 <= armed[-1] <= 101  # clamped to remaining, floored at 60
+    bench._DEADLINE = None
+    bench._watchdog(1234)  # no deadline (test-driven stages): verbatim
+    assert armed[-1] == 1234
+    signal.signal(signal.SIGALRM, signal.SIG_DFL)
+
+
+def test_stage_budgeted_skips_near_deadline(bench, tmp_path):
+    import time as _time
+
+    bench._PARTIAL_PATH = str(tmp_path / "partial.json")
+    bench._DEADLINE = _time.time() + 5  # < _STAGE_MIN_SECS
+    assert bench._stage_budgeted("late_stage", lambda: 1.0) is None
+    assert bench._ERRORS["late_stage"].startswith("skipped:")
+    bench._DEADLINE = None  # no deadline -> runs normally
+    assert bench._stage_budgeted("ok_stage", lambda: 2.0) == 2.0
+    assert "ok_stage" not in bench._ERRORS
+
+
 def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
     """Drive _run() with every measurement stubbed: all result keys must be
     wired to the right stage outputs (guards tuple-unpack/key-name drift
@@ -143,14 +191,15 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
     monkeypatch.setattr(
         bench, "bench_train",
         lambda lanes, steps, compute_dtype=None, rule="hebb", coord_conv=False, patch_conv=0,
-        fold_hires=False, remat_trunk=False, pipelined=False:
+        fold_hires=False, remat_trunk=False, fast_dw=False:
             (100.0 * lanes, 2.0, 0.25),
     )
     monkeypatch.setattr(bench, "bench_infer_tta",
                         lambda n, compute_dtype=None, transforms=("identity", "hflip"),
                         batch_views=False, quant=False: (5000.0, 0.3))
     monkeypatch.setattr(bench, "bench_artifact_serving", lambda n: 4000.0)
-    monkeypatch.setattr(bench, "bench_submission_scale", lambda n: (3000.0, n / 3000.0))
+    monkeypatch.setattr(bench, "bench_submission_scale",
+                        lambda n, quant=False: (3000.0, n / 3000.0))
     monkeypatch.setattr(bench, "bench_vanilla_forward", lambda n: 9000.0)
     monkeypatch.setattr(bench, "bench_oja_epoch_with_eval", lambda n: 800.0)
     monkeypatch.setattr(bench, "bench_e2e_tuned_run",
@@ -161,7 +210,6 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
         "device", "train_images_per_sec", "compile_seconds", "mfu_parity_mode",
         "compile_cache_hit", "train_parity_plain_xla_images_per_sec",
         "train_b1_bf16_patch_images_per_sec",
-        "train_b1_bf16_patch_pipelined_images_per_sec",
         "train_8lane_images_per_sec",
         "train_8lane_bf16_images_per_sec", "train_128lane_bf16_images_per_sec",
         "compile_seconds_128lane", "mfu_128lane_bf16",
@@ -169,9 +217,11 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
         "infer_tta_images_per_sec", "mfu_infer_tta",
         "infer_tta_bf16_images_per_sec", "mfu_infer_tta_bf16",
         "infer_tta8_bf16_images_per_sec", "mfu_infer_tta8_bf16",
+        "infer_tta8_int8_images_per_sec", "mfu_infer_tta8_int8",
         "infer_tta_int8_images_per_sec", "mfu_infer_tta_int8",
         "artifact_infer_bf16_images_per_sec",
         "submission_18k_images_per_sec", "submission_18k_seconds",
+        "submission_18k_int8_images_per_sec", "submission_18k_int8_seconds",
         "submission_tiles", "vanilla_forward_images_per_sec",
         "oja_epoch_with_eval_images_per_sec",
         "coordconv_plastic_train_images_per_sec",

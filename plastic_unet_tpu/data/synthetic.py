@@ -8,35 +8,60 @@ from __future__ import annotations
 import numpy as np
 
 
-def synthetic_tiles(n: int, size: int = 101, seed: int = 0):
+def _ellipse(rng, xx, yy, r_lo: float, r_hi: float):
+    cx, cy = rng.random(2)
+    rx, ry = r_lo + (r_hi - r_lo) * rng.random(2)
+    th = rng.random() * np.pi
+    dx, dy = xx - cx, yy - cy
+    u = dx * np.cos(th) + dy * np.sin(th)
+    v = -dx * np.sin(th) + dy * np.cos(th)
+    return ((u / rx) ** 2 + (v / ry) ** 2 < 1).astype(np.float32)
+
+
+def synthetic_tiles(n: int, size: int = 101, seed: int = 0, hard: bool = False):
     """Generate (images, masks) with salt-like blobby masks.
 
     images: (N, 1, size, size) float32 in [0, 1]
     masks:  (N, 1, size, size) float32 in {0, 1}
+
+    hard=True (round 5, VERDICT r04 item 7): a regime the default task's
+    IoU~1.0 ceiling cannot trivialize — smaller/more numerous salt bodies,
+    heavier background texture, weaker brightness cue, and DISTRACTOR
+    ellipses that carry the same brightness bump as true salt but keep the
+    background texture (the learnable cue for true salt is texture
+    smoothing, like real seismic salt's low-frequency interior). Quality
+    differences between training rules have room to show here.
     """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     images = np.empty((n, 1, size, size), np.float32)
     masks = np.empty((n, 1, size, size), np.float32)
     for i in range(n):
-        k = rng.integers(0, 4)
         m = np.zeros((size, size), np.float32)
-        for _ in range(k):
-            cx, cy = rng.random(2)
-            rx, ry = 0.08 + 0.3 * rng.random(2)
-            th = rng.random() * np.pi
-            dx, dy = xx - cx, yy - cy
-            u = dx * np.cos(th) + dy * np.sin(th)
-            v = -dx * np.sin(th) + dy * np.cos(th)
-            m = np.maximum(m, ((u / rx) ** 2 + (v / ry) ** 2 < 1).astype(np.float32))
-        tex = rng.normal(0.5, 0.15, (size, size)).astype(np.float32)
-        img = np.clip(tex + 0.25 * m + 0.1 * np.sin(8 * np.pi * (yy + 0.3 * xx)), 0, 1)
-        images[i, 0] = img
+        if hard:
+            for _ in range(int(rng.integers(1, 7))):
+                m = np.maximum(m, _ellipse(rng, xx, yy, 0.03, 0.11))
+            d = np.zeros((size, size), np.float32)
+            for _ in range(int(rng.integers(1, 5))):
+                d = np.maximum(d, _ellipse(rng, xx, yy, 0.03, 0.11))
+            d = d * (1.0 - m)  # distractors only where there is no salt
+            tex = rng.normal(0.5, 0.22, (size, size)).astype(np.float32)
+            tex_in = rng.normal(0.5, 0.08, (size, size)).astype(np.float32)
+            phase = rng.random() * 2 * np.pi
+            waves = 0.08 * np.sin(8 * np.pi * (yy + 0.3 * xx) + phase)
+            img = np.where(m > 0, tex_in + 0.12, tex + 0.12 * d) + waves
+        else:
+            for _ in range(int(rng.integers(0, 4))):
+                m = np.maximum(m, _ellipse(rng, xx, yy, 0.08, 0.38))
+            tex = rng.normal(0.5, 0.15, (size, size)).astype(np.float32)
+            img = tex + 0.25 * m + 0.1 * np.sin(8 * np.pi * (yy + 0.3 * xx))
+        images[i, 0] = np.clip(img, 0, 1)
         masks[i, 0] = m
     return images, masks
 
 
-def synthetic_split(n_train: int = 32, n_val: int = 8, size: int = 101, seed: int = 0):
+def synthetic_split(n_train: int = 32, n_val: int = 8, size: int = 101, seed: int = 0,
+                    hard: bool = False):
     """(x_train, x_valid, y_train, y_valid) in the reference's NCHW contract."""
-    x, y = synthetic_tiles(n_train + n_val, size=size, seed=seed)
+    x, y = synthetic_tiles(n_train + n_val, size=size, seed=seed, hard=hard)
     return x[:n_train], x[n_train:], y[:n_train], y[n_train:]

@@ -46,10 +46,10 @@ def _import_ref(name: str):
     return mod
 
 
-def make_data(n_train: int, n_val: int, seed: int):
+def make_data(n_train: int, n_val: int, seed: int, hard: bool = False):
     from plastic_unet_tpu.data.synthetic import synthetic_split
 
-    return synthetic_split(n_train, n_val, size=NBF, seed=seed)
+    return synthetic_split(n_train, n_val, size=NBF, seed=seed, hard=hard)
 
 
 def ref_score(preds: np.ndarray, y_val: np.ndarray):
@@ -70,7 +70,8 @@ def run_torch(args):
     torch.manual_seed(args.seed)
     torch.set_num_threads(max(os.cpu_count() or 1, 1))
     ref_res = _import_ref("unet.unet_p_res")
-    x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed)
+    x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed,
+                                               hard=getattr(args, "hard", False))
 
     net = ref_res.UNetpRes(
         n_channels=1, n_classes=1, device=torch.device("cpu"),
@@ -115,6 +116,7 @@ def run_torch(args):
     best_iou, best_thr, ious = ref_score(np.stack(preds), y_val.squeeze(1))
     result = {
         "stack": "torch-reference", "rule": args.rule, "epochs": args.epochs,
+        "regime": "hard" if getattr(args, "hard", False) else "default",
         "train_samples": args.train, "val_samples": args.val, "seed": args.seed,
         "best_iou": best_iou, "best_threshold": best_thr,
         "final_loss_mean100": float(np.mean(losses[-100:])),
@@ -142,7 +144,8 @@ def run_jax(args):
     import contextlib
     stack = contextlib.ExitStack()
     stack.enter_context(matmul_precision("parity"))  # true-fp32 matmuls, like torch
-    x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed)
+    x_train, x_val, y_train, y_val = make_data(args.train, args.val, args.seed,
+                                               hard=getattr(args, "hard", False))
 
     model = UNetPRes(n_channels=1, n_classes=1, neurons=NEURONS, dropout_ratio=DROPOUT,
                      nbf=NBF, rule=args.rule, trunk_pad=getattr(args, "trunk_pad", 0))
@@ -182,6 +185,7 @@ def run_jax(args):
     best_iou, best_thr, ious = ref_score(preds, y_val.squeeze(1))
     result = {
         "stack": "plastic_unet_tpu", "rule": args.rule, "epochs": args.epochs,
+        "regime": "hard" if getattr(args, "hard", False) else "default",
         "trunk_pad": getattr(args, "trunk_pad", 0),
         "train_samples": args.train, "val_samples": args.val, "seed": args.seed,
         "best_iou": best_iou, "best_threshold": best_thr,
@@ -201,11 +205,12 @@ def run_report(paths):
     for p in paths:
         with open(p) as f:
             rows.append(json.load(f))
-    rows.sort(key=lambda r: (r["rule"], r["stack"]))
-    print("| stack | rule | best IoU | best thr (logit) | final loss (100) | eta | imgs/s |")
-    print("|---|---|---|---|---|---|---|")
+    rows.sort(key=lambda r: (r.get("regime", "default"), r["rule"], r["stack"]))
+    print("| stack | rule | regime | epochs | best IoU | best thr (logit) | final loss (100) | eta | imgs/s |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['stack']} | {r['rule']} | {r['best_iou']:.4f} | {r['best_threshold']:.4f} "
+        print(f"| {r['stack']} | {r['rule']} | {r.get('regime', 'default')} | {r['epochs']} "
+              f"| {r['best_iou']:.4f} | {r['best_threshold']:.4f} "
               f"| {r['final_loss_mean100']:.4f} | {r['eta']:.4f} | {r['images_per_sec']} |")
 
 
@@ -219,6 +224,10 @@ def main():
         s.add_argument("--train", type=int, default=256)
         s.add_argument("--val", type=int, default=64)
         s.add_argument("--seed", type=int, default=77)
+        s.add_argument("--hard", action="store_true",
+                       help="round-5 hard synthetic regime (small/many salt "
+                            "bodies, texture-cue only, distractor ellipses) — "
+                            "the default task saturates at IoU~1.0")
         s.add_argument("--out", required=True)
         if name == "jax":
             s.add_argument("--init", default="", help=".pth with initial weights (from the torch run)")

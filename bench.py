@@ -683,6 +683,15 @@ def _run():
         _put("train_128lane_bf16_images_per_sec", r[0])
         _put("compile_seconds_128lane", r[1])
         _put("mfu_128lane_bf16", r[2], nd=4)
+    # round 5: fast_dw at lane scale — im2col dw backward cuts implied HBM
+    # traffic 10.7 -> 9.4 GB/step (+14% at 128 lanes, the measured-best
+    # training config; PERF.md round-5 roofline). MFU numerator stays the
+    # canonical-representation twin, so the MFU is comparable to base.
+    r = _stage("train_128lane_bf16_fast_dw", bench_train, lanes=128, steps=12,
+               compute_dtype=jnp.bfloat16, fast_dw=True)
+    if r:
+        _put("train_128lane_bf16_fast_dw_images_per_sec", r[0])
+        _put("mfu_128lane_bf16_fast_dw", r[2], nd=4)
 
     # --- Everything below is deadline-budgeted: a stage that cannot finish
     # before the absolute deadline is recorded as skipped, so the record

@@ -212,6 +212,7 @@ def test_run_wiring_all_keys(bench, monkeypatch, tmp_path):
         "train_b1_bf16_patch_images_per_sec",
         "train_8lane_images_per_sec",
         "train_8lane_bf16_images_per_sec", "train_128lane_bf16_images_per_sec",
+        "train_128lane_bf16_fast_dw_images_per_sec", "mfu_128lane_bf16_fast_dw",
         "compile_seconds_128lane", "mfu_128lane_bf16",
         "train_256lane_bf16_images_per_sec", "mfu_256lane_bf16",
         "infer_tta_images_per_sec", "mfu_infer_tta",

@@ -64,6 +64,38 @@ def ref_score(preds: np.ndarray, y_val: np.ndarray):
     return float(ious[best]), float(t_logit[best]), ious.tolist()
 
 
+def _torch_eval_and_emit(net, x_val, y_val, args, losses, train_s, epochs_done):
+    """Reference eval semantics (zero trace per val sample, eval.py:81-90),
+    then write the result JSON. Factored out so checkpoint-resume and the
+    final epoch share one path."""
+    import torch
+
+    net.eval()
+    preds = []
+    with torch.no_grad():
+        for img in x_val:
+            hebb0 = net.initialZeroHebb()
+            y_pred, _ = net(torch.from_numpy(img.astype(np.float32)[None]), hebb0)
+            preds.append(y_pred.squeeze().numpy())
+    net.train()
+    best_iou, best_thr, ious = ref_score(np.stack(preds), y_val.squeeze(1))
+    result = {
+        "stack": "torch-reference", "rule": args.rule, "epochs": args.epochs,
+        "epochs_completed": epochs_done,
+        "regime": "hard" if getattr(args, "hard", False) else "default",
+        "train_samples": args.train, "val_samples": args.val, "seed": args.seed,
+        "best_iou": best_iou, "best_threshold": best_thr,
+        "final_loss_mean100": float(np.mean(losses[-100:])),
+        "eta": float(net.eta.item()), "train_seconds": round(train_s, 1),
+        "images_per_sec": round(epochs_done * args.train / max(train_s, 1e-9), 2),
+        "iou_curve": ious,
+    }
+    out = args.out if epochs_done >= args.epochs else args.out + ".partial"
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "iou_curve"}), flush=True)
+
+
 def run_torch(args):
     import torch
 
@@ -77,16 +109,34 @@ def run_torch(args):
         n_channels=1, n_classes=1, device=torch.device("cpu"),
         neurons=NEURONS, dropout_ratio=DROPOUT, nbf=NBF, rule=args.rule,
     )
-    torch.save(net.state_dict(), args.out + ".init.pth")
+    # Shared-init provenance: reuse a committed init if present (the net was
+    # still constructed above, so the global-RNG stream for dropout matches a
+    # fresh-init run exactly); otherwise write it for the jax arm.
+    if os.path.exists(args.out + ".init.pth"):
+        net.load_state_dict(torch.load(args.out + ".init.pth", weights_only=True))
+        print(f"[torch {args.rule}] init weights loaded from {args.out}.init.pth", flush=True)
+    else:
+        torch.save(net.state_dict(), args.out + ".init.pth")
 
     opt = torch.optim.Adam(net.parameters(), lr=LR)
     sched = torch.optim.lr_scheduler.StepLR(opt, gamma=GAMMA, step_size=int(STEPLR))
     crit = torch.nn.BCELoss()
 
+    ckpt_path = args.out + ".ckpt.pth"
+    start_epoch, losses, prev_s = 0, [], 0.0
+    if getattr(args, "resume", False) and os.path.exists(ckpt_path):
+        ck = torch.load(ckpt_path, weights_only=False)
+        net.load_state_dict(ck["model"])
+        opt.load_state_dict(ck["opt"])
+        sched.load_state_dict(ck["sched"])
+        torch.set_rng_state(ck["rng"])
+        start_epoch, losses, prev_s = ck["epoch"], ck["losses"], ck["train_seconds"]
+        print(f"[torch {args.rule}] resumed at epoch {start_epoch} ({prev_s:.0f}s banked)", flush=True)
+
+    ckpt_every = getattr(args, "ckpt_every", 25) or args.epochs
     t0 = time.time()
-    losses = []
     net.train()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         hebb = net.initialZeroHebb()
         for img, mask in zip(x_train, y_train):
             opt.zero_grad()
@@ -99,34 +149,21 @@ def run_torch(args):
             opt.step()
             sched.step()
             hebb = hebb.detach()
+        elapsed = prev_s + (time.time() - t0)
         if (epoch + 1) % 10 == 0:
             print(f"[torch {args.rule}] epoch {epoch + 1}/{args.epochs} "
                   f"loss={np.mean(losses[-len(x_train):]):.4f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
-    train_s = time.time() - t0
-
-    # reference eval semantics: zero trace per val sample (eval.py:81-90)
-    net.eval()
-    preds = []
-    with torch.no_grad():
-        for img in x_val:
-            hebb0 = net.initialZeroHebb()
-            y_pred, _ = net(torch.from_numpy(img.astype(np.float32)[None]), hebb0)
-            preds.append(y_pred.squeeze().numpy())
-    best_iou, best_thr, ious = ref_score(np.stack(preds), y_val.squeeze(1))
-    result = {
-        "stack": "torch-reference", "rule": args.rule, "epochs": args.epochs,
-        "regime": "hard" if getattr(args, "hard", False) else "default",
-        "train_samples": args.train, "val_samples": args.val, "seed": args.seed,
-        "best_iou": best_iou, "best_threshold": best_thr,
-        "final_loss_mean100": float(np.mean(losses[-100:])),
-        "eta": float(net.eta.item()), "train_seconds": round(train_s, 1),
-        "images_per_sec": round(args.epochs * args.train / train_s, 2),
-        "iou_curve": ious,
-    }
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps({k: v for k, v in result.items() if k != "iou_curve"}))
+                  f"({elapsed:.0f}s)", flush=True)
+        if (epoch + 1) % ckpt_every == 0 and (epoch + 1) < args.epochs:
+            tmp = ckpt_path + ".tmp"
+            torch.save({"model": net.state_dict(), "opt": opt.state_dict(),
+                        "sched": sched.state_dict(), "rng": torch.get_rng_state(),
+                        "epoch": epoch + 1, "losses": losses,
+                        "train_seconds": elapsed}, tmp)
+            os.replace(tmp, ckpt_path)
+            _torch_eval_and_emit(net, x_val, y_val, args, losses, elapsed, epoch + 1)
+    train_s = prev_s + (time.time() - t0)
+    _torch_eval_and_emit(net, x_val, y_val, args, losses, train_s, args.epochs)
 
 
 def run_jax(args):
@@ -229,6 +266,11 @@ def main():
                             "bodies, texture-cue only, distractor ellipses) — "
                             "the default task saturates at IoU~1.0")
         s.add_argument("--out", required=True)
+        if name == "torch":
+            s.add_argument("--resume", action="store_true",
+                           help="continue from <out>.ckpt.pth if present")
+            s.add_argument("--ckpt-every", dest="ckpt_every", type=int, default=25,
+                           help="save ckpt + partial eval every N epochs (0 = never)")
         if name == "jax":
             s.add_argument("--init", default="", help=".pth with initial weights (from the torch run)")
             s.add_argument("--trunk-pad", dest="trunk_pad", type=int, default=0,
